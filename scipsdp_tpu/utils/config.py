@@ -1,0 +1,87 @@
+"""Typed configuration tree.
+
+Mirrors the reference's parameter registry (SCIP params plus the ~37
+``relaxing/SDP/*`` params of relax_sdp.c:5374-5560, the SDPI params of
+src/sdpi/sdpi.c:197-203 and type_sdpi.h:47-66, and SCIP-SDP's re-defaulted
+SCIP params, scipsdpdefplugins.c:127-204) as plain dataclasses so a Settings
+instance can be closed over by jitted solver functions (all fields are static
+Python scalars).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class IPMSettings:
+    """Interior-point solver parameters (replaces DSDP/SDPA/MOSEK knobs).
+
+    Tolerance semantics follow the reference: ``gaptol`` is the relative
+    duality-gap stopping criterion (relaxing/SDP/sdpsolvergaptol, default
+    1e-5, relax_sdp.c:70-71), ``feastol`` the feasibility tolerance of the
+    returned solution (relaxing/SDP/sdpsolverfeastol, 1e-5).
+    """
+
+    gaptol: float = 1e-5
+    feastol: float = 1e-5
+    epsilon: float = 1e-9          # equality test (sdpi.c DEFAULT_EPSILON)
+    max_iters: int = 100           # IPM iteration cap per solve attempt
+    # penalty formulation ladder (sdpi.c:197-203, sdpisolver.h:237-245)
+    penaltyparam: float = 1e5      # starting Gamma
+    maxpenaltyparam: float = 1e10  # maximal Gamma
+    npenaltyincr: int = 8          # number of Gamma increases
+    peninfeasadjust: float = 1.1   # infeasibility margin (relax_sdp.c:96)
+    min_gaptol: float = 1e-10      # MIN_GAPTOL when shrinking for penalty
+    # numerics
+    dtype: str = "float64"         # "float64" | "float32"
+    tau: float = 0.95              # fraction-to-boundary step factor
+    tau_final: float = 0.98        # step factor once mu is small
+    sigma_min: float = 1e-8        # minimum centering parameter
+    chol_reg: float = 1e-12        # Schur diagonal regularization (relative)
+    init_point_scale: float = 10.0  # lambda*-style initial point scaling
+                                    # (SDPA lambdastar, relax_sdp.c:74)
+    presolve_rounds: int = 3       # vectorized prepareLPData passes
+                                   # (sdpi.c:1131 loop)
+
+
+@dataclasses.dataclass(frozen=True)
+class BBSettings:
+    """Branch-and-bound orchestration parameters."""
+
+    # SCIP-SDP re-defaults (scipsdpdefplugins.c:127-204)
+    feastol: float = 1e-5          # numerics/feastol
+    dualfeastol: float = 1e-5      # numerics/dualfeastol
+    gaplimit: float = 0.0          # relative B&B gap limit
+    node_limit: int = 1_000_000
+    time_limit: float = 1e20
+    # best-first node selection is the reference default because SDP
+    # warmstarts are weak (scipsdpdefplugins.c:152-158)
+    node_selection: str = "bestbound"
+    branching_rule: str = "infobjective"  # see core/branching.py; the
+                                           # reference registers 4 rules
+    batch_size: int = 16           # open nodes solved per device step
+                                   # (TPU analog of concurrent solvers,
+                                   # sdpi.c:2144 SCIPsdpiClone portfolio)
+    heuristic_fracround: bool = True  # heur_sdpfracround.c analog
+    objlimit_pruning: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    ipm: IPMSettings = dataclasses.field(default_factory=IPMSettings)
+    bb: BBSettings = dataclasses.field(default_factory=BBSettings)
+    # misc/solvesdps master switch: 1 = nonlinear B&B with SDP relaxations
+    # (default), 0 = LP outer approximation with eigenvector cuts
+    # (relax_sdp.c:5428, param-change callback :5302-5373)
+    solve_sdps: int = 1
+    verbosity: int = 0
+    seed: int = 0
+
+    def replace(self, **kw) -> "Settings":
+        return dataclasses.replace(self, **kw)
+
+
+def default_settings(**kw) -> Settings:
+    return Settings(**kw)

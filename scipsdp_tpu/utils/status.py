@@ -1,0 +1,56 @@
+"""Solve-status lattice.
+
+Reproduces the information content of the reference SDPI status queries
+(`SCIPsdpiWasSolved` / `IsAcceptable` / `IsConverged` / primal-dual
+feasibility lattice, reference src/sdpi/sdpi.c:3653-4110) as integer enums so
+a *vector* of statuses can live on device for a batch of node relaxations.
+"""
+
+from __future__ import annotations
+
+import enum
+
+
+class SolverResultStatus(enum.IntEnum):
+    """Per-relaxation outcome of the batched interior-point solve.
+
+    This is the per-instance status the branch-and-bound layer branches on,
+    mirroring the outcome classes of ``calcRelax``
+    (reference src/scipsdp/relax_sdp.c:4205-4346).
+    """
+
+    UNSOLVED = 0          # not attempted / masked-out batch slot
+    OPTIMAL = 1           # converged: dual bound + solution valid
+    INFEASIBLE = 2        # node relaxation infeasible -> cutoff
+    UNBOUNDED = 3         # dual unbounded (objective -> -inf)
+    BOUND_ONLY = 4        # not converged, but penalty solve gave a valid lower bound
+    FAILED = 5            # no usable information (reference: "unsolved" stat)
+
+    # statuses settled by presolve before the IPM ever runs
+    # (reference src/sdpi/sdpi.c:3190-3381)
+    PRESOLVED_INFEASIBLE = 6   # bound conflict / fixed point infeasible
+    PRESOLVED_OPTIMAL = 7      # all variables fixed & feasible
+
+
+class SolveStatus(enum.IntEnum):
+    """Overall MISDP solve status (analog of SCIP's SCIP_STATUS)."""
+
+    UNKNOWN = 0
+    OPTIMAL = 1
+    INFEASIBLE = 2
+    UNBOUNDED = 3
+    NODE_LIMIT = 4
+    TIME_LIMIT = 5
+    GAP_LIMIT = 6
+
+
+def is_acceptable(status: int) -> bool:
+    """Analog of SCIPsdpiIsAcceptable: result is usable for B&B decisions."""
+    return status in (
+        SolverResultStatus.OPTIMAL,
+        SolverResultStatus.INFEASIBLE,
+        SolverResultStatus.UNBOUNDED,
+        SolverResultStatus.BOUND_ONLY,
+        SolverResultStatus.PRESOLVED_INFEASIBLE,
+        SolverResultStatus.PRESOLVED_OPTIMAL,
+    )

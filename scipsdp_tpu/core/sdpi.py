@@ -1,0 +1,245 @@
+"""Solver-independent SDP interface with the recovery ladder.
+
+TPU-native analog of the reference SDPI (src/sdpi/sdpi.c): wraps the batched
+IPM (ops/ipm.py) behind a stable host-side API and implements the layered
+failure recovery of ``SCIPsdpiSolve`` (sdpi.c:3399-3599):
+
+1. direct solve (penalty variable fixed to 0);
+2. for failed instances, the *feasibility probe*: penalty formulation with
+   Gamma = 1 and zeroed objective — an optimal r above
+   ``peninfeasadjust * max(feastol, gaptol)`` proves dual infeasibility
+   (sdpi.c:3450-3490);
+3. penalty rescue solves with Gamma escalating from ``penaltyparam`` toward
+   ``maxpenaltyparam`` in ``npenaltyincr`` steps (sdpi.c:3497-3599); a
+   converged rescue with r <= feastol is feasible for the original problem
+   (``feasorig``), otherwise its objective is still a valid lower bound
+   (the analog of SCIPsdpiGetLowerObjbound, used at relax_sdp.c:4327);
+4. a *box rescue* replacing infinite bounds by a large box: a converged
+   box solve with an artificial bound active proves (numerically) dual
+   unboundedness, otherwise it recovers an optimum the plain solve missed.
+
+Every rung is one more batched jit call on the full batch (statuses of
+already-decided instances are never overwritten), so the ladder costs
+nothing when everything converges on the first try — the common case in
+branch-and-bound.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scipsdp_tpu.models.problem import DenseSDPData, INF
+from scipsdp_tpu.ops.ipm import IPMData, build_ipm_data, ipm_solve
+from scipsdp_tpu.utils.config import Settings
+from scipsdp_tpu.utils.status import SolverResultStatus
+
+BOX_BOUND = 1e7       # artificial box for unboundedness detection
+BOX_ACTIVE_TOL = 0.99  # |y| >= BOX_ACTIVE_TOL * BOX_BOUND counts as active
+
+
+@dataclasses.dataclass
+class BatchSolveResult:
+    """Per-instance outcome of one batched relaxation solve."""
+
+    status: np.ndarray    # (B,) SolverResultStatus values
+    objval: np.ndarray    # (B,) optimal value / valid lower bound (BOUND_ONLY)
+    y: np.ndarray         # (B, m) dual solution (original variables)
+    X: np.ndarray         # (B, K, n, n) primal SDP matrices
+    xl: np.ndarray        # (B, p) primal LP-row multipliers
+    xlb: np.ndarray       # (B, m) primal lower-bound multipliers
+    xub: np.ndarray       # (B, m) primal upper-bound multipliers
+    iters: int            # IPM iterations of the direct solve
+    nsolves: int          # total batched solver invocations used
+    npenalty: int         # instances decided via penalty formulation
+    nunsolved: int        # instances with no usable information
+
+
+class SDPInterface:
+    """Batched SDP relaxation solver for one problem's data.
+
+    Per-call inputs are only the per-node variable bounds (and optionally a
+    per-node objective), matching how B&B node relaxations differ.
+    """
+
+    def __init__(self, dense: DenseSDPData, settings: Optional[Settings] = None):
+        self.settings = settings or Settings()
+        self.dense = dense
+        self.data: IPMData = build_ipm_data(dense)
+        self.m = dense.nvars
+        self._solve = jax.jit(
+            functools.partial(ipm_solve, settings=self.settings.ipm)
+        )
+        # statistics (the relaxator's counters, relax_sdp.c:166-235)
+        self.stat_nsolves = 0
+        self.stat_iterations = 0
+        self.stat_npenalty = 0
+        self.stat_nprobes = 0
+        self.stat_nunsolved = 0
+
+    # -- helpers -----------------------------------------------------------
+
+    def _extend(self, arr: np.ndarray, val: float) -> np.ndarray:
+        B = arr.shape[0]
+        return np.concatenate([arr, np.full((B, 1), val)], axis=1)
+
+    def _run(self, b, lb, ub):
+        self.stat_nsolves += 1
+        return self._solve(self.data, jnp.asarray(b), jnp.asarray(lb),
+                           jnp.asarray(ub))
+
+    # -- main entry --------------------------------------------------------
+
+    def solve_batch(self, lb: np.ndarray, ub: np.ndarray,
+                    obj: Optional[np.ndarray] = None) -> BatchSolveResult:
+        """Solve B node relaxations; lb/ub: (B, m) bounds per node."""
+        ipms = self.settings.ipm
+        feastol = ipms.feastol
+        B = lb.shape[0]
+        m = self.m
+        if obj is None:
+            bmat = np.tile(np.asarray(self.data.b_base), (B, 1))
+        else:
+            bmat = self._extend(np.asarray(obj, dtype=np.float64), 0.0)
+
+        # rung 1: direct solve, r fixed at 0
+        lbx = self._extend(lb, 0.0)
+        ubx = self._extend(ub, 0.0)
+        out = self._run(bmat, lbx, ubx)
+        self.stat_iterations += int(out.iters)
+
+        status = np.asarray(out.status).copy()
+        objval = np.asarray(out.dobj).copy()
+        y = np.asarray(out.y)[:, :m].copy()
+        X = np.asarray(out.X).copy()
+        xl = np.asarray(out.xl).copy()
+        xlb = np.asarray(out.xlb)[:, :m].copy()
+        xub = np.asarray(out.xub)[:, :m].copy()
+        direct_iters = int(out.iters)
+        nsolves = 1
+        npenalty = 0
+
+        failed = status == int(SolverResultStatus.FAILED)
+        if failed.any():
+            # rung 2: feasibility probe (Gamma = 1, objective zero)
+            self.stat_nprobes += 1
+            ubp = ubx.copy()
+            ubp[:, m] = INF
+            bprobe = np.zeros_like(bmat)
+            bprobe[:, m] = 1.0
+            outp = self._run(bprobe, lbx, ubp)
+            nsolves += 1
+            pstat = np.asarray(outp.status)
+            rstar = np.asarray(outp.r)
+            infeas_margin = ipms.peninfeasadjust * max(feastol, ipms.gaptol)
+            proved_infeas = (
+                failed
+                & (pstat == int(SolverResultStatus.OPTIMAL))
+                & (rstar > infeas_margin)
+            )
+            status[proved_infeas] = int(SolverResultStatus.INFEASIBLE)
+            failed = status == int(SolverResultStatus.FAILED)
+
+        if failed.any():
+            # rung 3: penalty rescue with Gamma escalation
+            gamma = ipms.penaltyparam
+            growth = (ipms.maxpenaltyparam / ipms.penaltyparam) ** (
+                1.0 / max(ipms.npenaltyincr, 1)
+            )
+            bound_only = np.full(B, -np.inf)
+            have_bound = np.zeros(B, dtype=bool)
+            for _ in range(ipms.npenaltyincr + 1):
+                bpen = bmat.copy()
+                bpen[:, m] = gamma
+                ubp = ubx.copy()
+                ubp[:, m] = INF
+                outk = self._run(bpen, lbx, ubp)
+                nsolves += 1
+                kstat = np.asarray(outk.status)
+                kr = np.asarray(outk.r)
+                kconv = kstat == int(SolverResultStatus.OPTIMAL)
+                feasorig = failed & kconv & (kr <= feastol)
+                if feasorig.any():
+                    npenalty += int(feasorig.sum())
+                    status[feasorig] = int(SolverResultStatus.OPTIMAL)
+                    ky = np.asarray(outk.y)
+                    objval[feasorig] = (
+                        np.asarray(outk.dobj)[feasorig]
+                        - gamma * kr[feasorig]
+                    )
+                    y[feasorig] = ky[feasorig, :m]
+                    X[feasorig] = np.asarray(outk.X)[feasorig]
+                    xl[feasorig] = np.asarray(outk.xl)[feasorig]
+                    xlb[feasorig] = np.asarray(outk.xlb)[feasorig, :m]
+                    xub[feasorig] = np.asarray(outk.xub)[feasorig, :m]
+                # even without feasorig, a converged penalty solve bounds
+                # the original optimum from below (sdpi.c GetLowerObjbound)
+                usable = failed & kconv & ~feasorig
+                bound_only = np.where(
+                    usable, np.maximum(bound_only, np.asarray(outk.dobj)),
+                    bound_only,
+                )
+                have_bound = have_bound | usable
+                failed = status == int(SolverResultStatus.FAILED)
+                if not failed.any():
+                    break
+                gamma *= growth
+
+            salvage = failed & have_bound
+            if salvage.any():
+                status[salvage] = int(SolverResultStatus.BOUND_ONLY)
+                objval[salvage] = bound_only[salvage]
+                failed = status == int(SolverResultStatus.FAILED)
+
+        if failed.any():
+            # rung 4: box rescue / unboundedness detection
+            lbb = lbx.copy()
+            ubb = ubx.copy()
+            art_lb = lbb[:, :m] < -BOX_BOUND
+            art_ub = ubb[:, :m] > BOX_BOUND
+            lbb[:, :m] = np.maximum(lbb[:, :m], -BOX_BOUND)
+            ubb[:, :m] = np.minimum(ubb[:, :m], BOX_BOUND)
+            outb = self._run(bmat, lbb, ubb)
+            nsolves += 1
+            bstat = np.asarray(outb.status)
+            byfull = np.asarray(outb.y)[:, :m]
+            at_box = np.any(
+                (art_lb & (byfull <= -BOX_ACTIVE_TOL * BOX_BOUND))
+                | (art_ub & (byfull >= BOX_ACTIVE_TOL * BOX_BOUND)),
+                axis=1,
+            )
+            bconv = bstat == int(SolverResultStatus.OPTIMAL)
+            unbounded = failed & bconv & at_box
+            recovered = failed & bconv & ~at_box
+            status[unbounded] = int(SolverResultStatus.UNBOUNDED)
+            objval[unbounded] = -np.inf
+            status[recovered] = int(SolverResultStatus.OPTIMAL)
+            objval[recovered] = np.asarray(outb.dobj)[recovered]
+            y[recovered] = byfull[recovered]
+            X[recovered] = np.asarray(outb.X)[recovered]
+            xl[recovered] = np.asarray(outb.xl)[recovered]
+            xlb[recovered] = np.asarray(outb.xlb)[recovered, :m]
+            xub[recovered] = np.asarray(outb.xub)[recovered, :m]
+
+        nunsolved = int((status == int(SolverResultStatus.FAILED)).sum())
+        self.stat_npenalty += npenalty
+        self.stat_nunsolved += nunsolved
+
+        return BatchSolveResult(
+            status=status,
+            objval=objval,
+            y=y,
+            X=X,
+            xl=xl,
+            xlb=xlb,
+            xub=xub,
+            iters=direct_iters,
+            nsolves=nsolves,
+            npenalty=npenalty,
+            nunsolved=nunsolved,
+        )

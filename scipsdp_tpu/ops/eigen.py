@@ -1,0 +1,73 @@
+"""Batched dense eigen/linear-algebra helpers (the L0 layer).
+
+TPU-native replacement for the reference's LAPACK interface
+(src/sdpi/lapack_interface.c: SCIPlapackComputeIthEigenvalue,
+SCIPlapackComputeEigenvectorsNegative, matrix multiplies): everything is
+batched `jnp.linalg.eigh`/`cholesky` over padded dense blocks, jit/vmap
+friendly.  Padded dimensions are expected to carry benign diagonal entries
+(see models/problem.densify) so batched factorizations stay valid.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sym(M: jnp.ndarray) -> jnp.ndarray:
+    """Symmetrize the trailing two axes."""
+    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+
+def min_eigenvalue(M: jnp.ndarray, dimmask: jnp.ndarray) -> jnp.ndarray:
+    """Smallest eigenvalue over the *real* dimensions of padded blocks.
+
+    ``M``: (..., n, n); ``dimmask``: (..., n) bool.  Padded rows/cols are
+    replaced by an identity scaled to a large positive value so they can
+    never be the minimum (analog of SCIPlapackComputeIthEigenvalue with
+    i = 1, lapack_interface.c:178).
+    """
+    n = M.shape[-1]
+    big = 1.0 + jnp.max(jnp.abs(M), axis=(-1, -2), keepdims=True)
+    outer = dimmask[..., :, None] & dimmask[..., None, :]
+    eye = jnp.eye(n, dtype=M.dtype)
+    Mm = jnp.where(outer, M, big * eye)
+    w = jnp.linalg.eigvalsh(Mm)
+    return w[..., 0]
+
+
+def max_step_psd(L: jnp.ndarray, dM: jnp.ndarray) -> jnp.ndarray:
+    """Largest alpha with  M + alpha*dM >= 0,  given M = L L^T (Cholesky).
+
+    Returns +inf (a large number) when dM keeps M PSD for all alpha.
+    Batched over leading axes.  This is the line-search min-eig check of
+    the IPM step rule (BASELINE.json north star kernel #3).
+    """
+    # Y = L^{-1} dM L^{-T};  M + a dM >= 0  <=>  1 + a*lambda_min(Y) >= 0
+    W = jax.scipy.linalg.solve_triangular(L, dM, lower=True)
+    Y = jax.scipy.linalg.solve_triangular(
+        L, jnp.swapaxes(W, -1, -2), lower=True
+    )
+    Y = sym(Y)
+    lam_min = jnp.linalg.eigvalsh(Y)[..., 0]
+    safe = lam_min >= -1e-14
+    return jnp.where(safe, jnp.inf, -1.0 / jnp.where(safe, -1.0, lam_min))
+
+
+def max_step_pos(v: jnp.ndarray, dv: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Largest alpha with  v + alpha*dv >= 0  elementwise over masked entries.
+
+    ``v`` strictly positive where mask; reduces over the last axis.
+    """
+    neg = (dv < 0) & mask
+    ratio = jnp.where(neg, -v / jnp.where(neg, dv, -1.0), jnp.inf)
+    return jnp.min(ratio, axis=-1)
+
+
+def chol_solve(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) x = rhs for batched lower-triangular L, rhs (..., n)."""
+    y = jax.scipy.linalg.solve_triangular(L, rhs[..., None], lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False
+    )
+    return x[..., 0]

@@ -6,12 +6,21 @@ scipsdp_tpu, which imports jax).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment forces JAX_PLATFORMS=axon (single real TPU chip) via a
+# sitecustomize that imports jax at interpreter start, so env vars are too
+# late — override through the config API instead.  Tests run on CPU with 8
+# virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 REFERENCE = "/root/reference"
 INSTANCES = os.path.join(REFERENCE, "instances")

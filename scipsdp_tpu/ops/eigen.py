@@ -64,6 +64,21 @@ def max_step_pos(v: jnp.ndarray, dv: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndar
     return jnp.min(ratio, axis=-1)
 
 
+def spd_inverse(M: jnp.ndarray, L: jnp.ndarray = None) -> jnp.ndarray:
+    """Inverse of a symmetric positive definite matrix via Cholesky.
+
+    Avoids LU decomposition (unsupported in f64 on TPU) and guarantees a
+    symmetric result.  ``L`` may pass a precomputed Cholesky factor.
+    """
+    if L is None:
+        L = jnp.linalg.cholesky(M)
+    n = M.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
+    W = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    inv = jnp.matmul(jnp.swapaxes(W, -1, -2), W)
+    return sym(inv)
+
+
 def chol_solve(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve (L L^T) x = rhs for batched lower-triangular L, rhs (..., n)."""
     y = jax.scipy.linalg.solve_triangular(L, rhs[..., None], lower=True)

@@ -52,6 +52,7 @@ from scipsdp_tpu.ops.eigen import (
     max_step_pos,
     max_step_psd,
     min_eigenvalue,
+    spd_inverse,
     sym,
 )
 from scipsdp_tpu.utils.config import IPMSettings
@@ -317,10 +318,15 @@ def ipm_solve(
 
     Z0 = jnp.einsum("kjab,xj->xkab", data.A, y0) - data.C[None]
     normb = jnp.max(jnp.abs(b), axis=1)
+    # initial-point scale: exclude the penalty objective coefficient Gamma
+    # (b[m]) — a large Gamma must not blow up X0/S0 (lambda* heuristic,
+    # sdpisolver_sdpa.cpp lambdastar)
+    normb_orig = jnp.max(jnp.abs(b[:, : data.nvars]), axis=1) if data.nvars > 0 \
+        else jnp.zeros((B,), dtype)
     normZ0 = jnp.max(jnp.abs(jnp.where(pad_outer, Z0, 0.0)), axis=(1, 2, 3))
     normh = jnp.max(jnp.abs(data.h)) if p > 0 else jnp.asarray(0.0, dtype)
     scale = settings.init_point_scale * jnp.maximum(
-        1.0, jnp.maximum(normb, jnp.maximum(normZ0, normh))
+        1.0, jnp.maximum(normb_orig, jnp.maximum(normZ0, normh))
     )  # (B,)
     xi = scale[:, None, None, None]
     X0 = xi * eyen[None, None] * jnp.ones((B, K, 1, 1), dtype)
@@ -398,8 +404,7 @@ def ipm_solve(
 
         Lx = jnp.linalg.cholesky(st.X)
         Ls = jnp.linalg.cholesky(st.S)
-        Sinv = jnp.linalg.inv(st.S)
-        Sinv = sym(Sinv)
+        Sinv = spd_inverse(st.S, Ls)
 
         # Schur complement M (the reference hot loop: Schur assembly inside
         # DSDP/SDPA per IPM iteration; here one big einsum on the MXU)

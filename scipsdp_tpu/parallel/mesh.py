@@ -1,0 +1,86 @@
+"""Device-mesh scale-out for batched relaxation solves.
+
+The reference's entire parallelism story is intra-process (BLAS threads,
+optional OMP, and SCIP's concurrent-solver portfolio via SCIPsdpiClone,
+sdpi.c:2144).  The TPU-native equivalents (SURVEY.md section 2.5):
+
+* one chip: XLA kernel parallelism inside the batched IPM;
+* one host, many chips: the open-node batch axis is sharded over a
+  ``jax.sharding.Mesh`` axis ``"nodes"`` (the DP-like axis), and SDP blocks
+  over ``"blocks"`` (the TP-like axis) — XLA inserts the psum/all-gather
+  collectives for the cross-block reductions of the Schur complement over
+  ICI;
+* many hosts: open-node partitioning per host over DCN with incumbent /
+  dual-bound all-gather (future work in this layer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scipsdp_tpu.ops.ipm import IPMData, ipm_solve
+from scipsdp_tpu.utils.config import IPMSettings
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axes: Sequence[str] = ("nodes",)) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices.
+
+    With one axis the whole mesh is the node (batch) axis.  With two axes
+    ("nodes", "blocks") devices are split evenly, blocks getting at most 2.
+    """
+    devices = jax.devices()
+    n = len(devices) if n_devices is None else n_devices
+    devices = np.asarray(devices[:n])
+    if len(axes) == 1:
+        return Mesh(devices.reshape(n), axes)
+    assert len(axes) == 2
+    nb = 2 if n % 2 == 0 else 1
+    return Mesh(devices.reshape(n // nb, nb), axes)
+
+
+def data_sharding(mesh: Mesh, data: IPMData) -> IPMData:
+    """Sharding pytree for IPMData: blocks axis sharded if present (and the
+    block count divides the axis), matching ``data``'s pytree structure."""
+    blocks = None
+    if "blocks" in mesh.axis_names:
+        nb = mesh.shape["blocks"]
+        if data.A.shape[0] % nb == 0:
+            blocks = "blocks"
+    return IPMData(
+        A=NamedSharding(mesh, P(blocks, None, None, None)),
+        C=NamedSharding(mesh, P(blocks, None, None)),
+        G=NamedSharding(mesh, P(None, None)),
+        h=NamedSharding(mesh, P(None)),
+        dimmask=NamedSharding(mesh, P(blocks, None)),
+        b_base=NamedSharding(mesh, P(None)),
+        nvars=data.nvars,
+        ndim_sdp=data.ndim_sdp,
+    )
+
+
+def sharded_solver(data: IPMData, settings: IPMSettings, mesh: Mesh):
+    """Jitted batched IPM whose node-batch axis is sharded over the mesh.
+
+    The returned function takes (b, lb, ub) with leading batch dimension a
+    multiple of the "nodes" axis size.  Problem data is device-resident
+    with blocks sharded over the "blocks" axis when the mesh has one.
+    """
+    dshard = data_sharding(mesh, data)
+    data = jax.device_put(data, dshard)
+    vec = NamedSharding(mesh, P("nodes", None))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(dshard, vec, vec, vec),
+        donate_argnums=(),
+    )
+    def solve(d, b, lb, ub):
+        return ipm_solve(d, b, lb, ub, settings)
+
+    return functools.partial(solve, data)

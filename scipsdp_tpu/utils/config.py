@@ -28,8 +28,12 @@ class IPMSettings:
     feastol: float = 1e-5
     epsilon: float = 1e-9          # equality test (sdpi.c DEFAULT_EPSILON)
     max_iters: int = 100           # IPM iteration cap per solve attempt
-    # penalty formulation ladder (sdpi.c:197-203, sdpisolver.h:237-245)
-    penaltyparam: float = 1e5      # starting Gamma
+    # penalty formulation ladder (sdpi.c:197-203, sdpisolver.h:237-245).
+    # The reference starts Gamma at 1e5 (tuned for DSDP/SDPA); our IPM
+    # converges best from a gentle Gamma with escalation toward 1e10 —
+    # large Gamma inflates the objective scale and degrades the Schur
+    # conditioning before it is needed.
+    penaltyparam: float = 1e3      # starting Gamma
     maxpenaltyparam: float = 1e10  # maximal Gamma
     npenaltyincr: int = 8          # number of Gamma increases
     peninfeasadjust: float = 1.1   # infeasibility margin (relax_sdp.c:96)

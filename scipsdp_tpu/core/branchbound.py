@@ -8,17 +8,25 @@ are weak) and *device-side batched* relaxation solves of many open nodes per
 step — the TPU analog of SCIP's concurrent-solver portfolio
 (SCIPsdpiClone, sdpi.c:2144).
 
-Node relaxations differ only in variable bounds, so one ``SDPInterface``
-instance serves every node of a problem; a step pops up to ``batch_size``
-nodes, solves them in one batched IPM call, then applies the calcRelax
-outcome rules (relax_sdp.c:4205-4346): cutoff on infeasibility / bound,
-incumbent update on integral relaxation solutions, rounding heuristic
-(heur_sdpfracround.c analog), and branching (core/branching.py).
+Two relaxation modes, switched by ``settings.solve_sdps`` exactly like the
+reference's ``misc/solvesdps`` master switch (relax_sdp.c:5428):
 
-Indicator constraints (binvar = 1 => slackvar = 0) are enforced by bound
-propagation at node creation, mirroring the slack-variable translation of
-SCIPcreateConsIndicatorLinCons (reader_sdpa.c:1195-1252); enforcement
-branches on undecided indicator variables.
+* ``solve_sdps = 1`` (default): nonlinear B&B — every node solves the SDP
+  relaxation with the batched IPM (relax_sdp.c:relaxExecSdp path);
+* ``solve_sdps = 0``: LP outer approximation — nodes solve LP relaxations
+  and the SDP blocks are enforced by *eigenvector cutting planes*
+  separated from a global cut pool (cons_sdp.c:separateSol:1612,
+  produceCutFromEigenvector:896).
+
+Other plugin roles folded in:
+
+* fracround heuristic (heur_sdpfracround.c) — batched rounding + batched
+  feasibility check of all node solutions at once;
+* indicator constraints — bound propagation at node creation + enforcement
+  branching (reader_sdpa.c:1195-1252 translation);
+* rank-1 constraints — eigenvalue check (isMatrixRankOne, cons_sdp.c:733)
+  with secant/McCormick cuts + spatial branching (addRank1QuadConss,
+  cons_sdp.c:3490, enforced by SCIP's nonlinear handler in the reference).
 """
 
 from __future__ import annotations
@@ -33,10 +41,17 @@ import numpy as np
 
 from scipsdp_tpu.core.branching import select_branch_var
 from scipsdp_tpu.core.feascheck import check_points
+from scipsdp_tpu.core import rank1 as r1
 from scipsdp_tpu.core.sdpi import SDPInterface
-from scipsdp_tpu.models.problem import INF, MISDP, densify
+from scipsdp_tpu.models.problem import INF, MISDP, DenseSDPData, densify
 from scipsdp_tpu.utils.config import Settings
 from scipsdp_tpu.utils.status import SolveStatus, SolverResultStatus
+
+import os
+_DEBUG_RANK1 = bool(os.environ.get("SCIPSDP_DEBUG_RANK1"))
+CUT_CHUNK = 16          # cut-buffer capacity granularity (bounds recompiles)
+MAX_POOL = 512          # global eigenvector cut pool cap (LP mode)
+MAX_SEP_ROUNDS = 8      # separation rounds per node batch (LP mode)
 
 
 @dataclasses.dataclass
@@ -48,6 +63,8 @@ class BBStats:
     npenalty: int = 0
     nunsolved: int = 0
     heur_found: int = 0
+    ncuts: int = 0
+    sep_rounds: int = 0
     wall_time: float = 0.0
 
 
@@ -66,13 +83,15 @@ class BBResult:
 
 
 class _Node:
-    __slots__ = ("lb", "ub", "bound", "depth")
+    __slots__ = ("lb", "ub", "bound", "depth", "cuts", "requeues")
 
-    def __init__(self, lb, ub, bound, depth):
+    def __init__(self, lb, ub, bound, depth, cuts=(), requeues=0):
         self.lb = lb
         self.ub = ub
         self.bound = bound
         self.depth = depth
+        self.cuts = list(cuts)   # node-local cuts: [(g (m,), rhs), ...]
+        self.requeues = requeues  # LP-mode re-separation attempts
 
 
 def _apply_indicator_propagation(prob: MISDP, lb: np.ndarray, ub: np.ndarray):
@@ -84,37 +103,184 @@ def _apply_indicator_propagation(prob: MISDP, lb: np.ndarray, ub: np.ndarray):
 
 def _violated_indicator(prob: MISDP, y: np.ndarray, feastol: float) -> int:
     """Return the binvar of a violated indicator link (binvar ~ 1 but slack
-    positive), or -1.  This is the enforcement role of SCIP's
-    cons_indicator: integral solutions violating an indicator must not be
-    accepted; we enforce by branching on the indicator variable."""
+    positive), or -1.  Enforcement role of SCIP's cons_indicator."""
     for link in prob.indicators:
         if y[link.binvar] >= 0.5 and y[link.slackvar] > feastol:
             return link.binvar
     return -1
 
 
+def _round_up(x: int, chunk: int) -> int:
+    return ((x + chunk - 1) // chunk) * chunk
+
+
+class _Solver:
+    """Shared state of one solve_misdp run."""
+
+    def __init__(self, prob: MISDP, settings: Settings):
+        self.prob = prob
+        self.settings = settings
+        self.dense: DenseSDPData = densify(prob)
+        self.m = prob.nvars
+        self.lp_mode = settings.solve_sdps == 0
+        if self.lp_mode:
+            # LP relaxation data: same rows/bounds, no SDP blocks
+            lp_prob = dataclasses.replace(prob)  # shallow is fine
+            lp_dense = densify(
+                MISDP(nvars=prob.nvars, obj=prob.obj, lb=prob.lb,
+                      ub=prob.ub, integral=prob.integral, blocks=[],
+                      lp=prob.lp, indicators=prob.indicators,
+                      name=prob.name + "_lp"))
+            self.iface = SDPInterface(lp_dense, settings)
+            # full data (for separation + feasibility checks)
+            self.full_iface = SDPInterface(self.dense, settings)
+        else:
+            self.iface = SDPInterface(self.dense, settings)
+            self.full_iface = self.iface
+        self.pool: List[Tuple[np.ndarray, float]] = []  # global cuts
+        self._pool_keys = set()
+        self.stats = BBStats()
+        # LP-row violation evaluator for the rank-1 completion heuristic
+        D = prob.lp.dense(prob.nvars)
+        lhs, rhs = prob.lp.lhs, prob.lp.rhs
+
+        def violation(yv: np.ndarray, nlb=None, nub=None) -> float:
+            v = 0.0
+            if D.shape[0]:
+                act = D @ yv
+                va = np.maximum(np.where(lhs > -INF, lhs - act, 0.0), 0.0)
+                va = np.maximum(va, np.where(rhs < INF, act - rhs, 0.0))
+                v = float(va.max())
+            if nlb is not None:
+                v = max(v, float(np.maximum(
+                    np.where(nlb > -INF, nlb - yv, 0.0), 0.0).max()))
+            if nub is not None:
+                v = max(v, float(np.maximum(
+                    np.where(nub < INF, yv - nub, 0.0), 0.0).max()))
+            return v
+
+        self.violation = violation
+
+    # -- cuts ---------------------------------------------------------------
+
+    def _add_pool_cut(self, g: np.ndarray, rhs: float) -> bool:
+        if len(self.pool) >= MAX_POOL:
+            return False
+        key = (np.round(g / max(1.0, np.abs(g).max() or 1.0), 6).tobytes(),
+               round(float(rhs), 6))
+        if key in self._pool_keys:
+            return False
+        self._pool_keys.add(key)
+        self.pool.append((g.astype(np.float64), float(rhs)))
+        self.stats.ncuts += 1
+        return True
+
+    def _assemble_cuts(self, batch: List[_Node], B: int):
+        """Padded per-node cut arrays: global pool ++ node-local cuts."""
+        npool = len(self.pool)
+        nloc = max((len(n.cuts) for n in batch), default=0)
+        q = npool + nloc
+        if q == 0:
+            return None
+        q = _round_up(q, CUT_CHUNK)
+        Gc = np.zeros((B, q, self.m))
+        hc = np.zeros((B, q))
+        valid = np.zeros((B, q), dtype=bool)
+        for c, (g, rhs) in enumerate(self.pool):
+            Gc[:, c, :] = g
+            hc[:, c] = rhs
+            valid[:, c] = True
+        for i, node in enumerate(batch):
+            for c, (g, rhs) in enumerate(node.cuts):
+                Gc[i, npool + c, :] = g
+                hc[i, npool + c] = rhs
+                valid[i, npool + c] = True
+        # dummy slots beyond real batch keep valid=False
+        for i in range(len(batch), B):
+            valid[i, :] = False
+        return Gc, hc, valid
+
+    def _separate(self, y: np.ndarray, nreal: int) -> int:
+        """Add violated eigenvector cuts at points y to the pool (LP mode).
+
+        One batched eigh yields every candidate cut (ops/cuts.py)."""
+        from scipsdp_tpu.ops.cuts import separate_eigenvector_cuts
+
+        sep = separate_eigenvector_cuts(
+            self.full_iface.data, y, tol=self.settings.bb.feastol)
+        coefs = np.asarray(sep.coefs)[:nreal]
+        rhs = np.asarray(sep.rhs)[:nreal]
+        valid = np.asarray(sep.valid)[:nreal]
+        added = 0
+        idx = np.argwhere(valid)
+        for (i, k, e) in idx:
+            g = coefs[i, k, e, : self.m]
+            if self._add_pool_cut(g, rhs[i, k, e]):
+                added += 1
+        return added
+
+    # -- relaxation solving -------------------------------------------------
+
+    def solve_relaxations(self, batch: List[_Node], B: int,
+                          lb: np.ndarray, ub: np.ndarray):
+        cuts = self._assemble_cuts(batch, B)
+        res = self.iface.solve_batch(lb, ub, cuts=cuts)
+        self.stats.relax_solves += 1
+        self.stats.ipm_iterations += res.iters
+        self.stats.solver_calls += res.nsolves
+        self.stats.npenalty += res.npenalty
+
+        if self.lp_mode:
+            # separation loop: add eigenvector cuts until SDP-feasible or
+            # no violated cuts (the reference's LP loop: consSepalpSdp ->
+            # separateSol per LP round)
+            for _ in range(MAX_SEP_ROUNDS):
+                usable = np.isin(res.status, (
+                    int(SolverResultStatus.OPTIMAL),
+                    int(SolverResultStatus.PRESOLVED_OPTIMAL)))
+                if not usable.any():
+                    break
+                added = self._separate(res.y, len(batch))
+                self.stats.sep_rounds += 1
+                if added == 0:
+                    break
+                cuts = self._assemble_cuts(batch, B)
+                res = self.iface.solve_batch(lb, ub, cuts=cuts)
+                self.stats.relax_solves += 1
+                self.stats.solver_calls += res.nsolves
+        return res
+
+
 def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 log: bool = False) -> BBResult:
-    """Solve a MISDP by nonlinear branch-and-bound with batched SDP
-    relaxations (the reference's default mode, misc/solvesdps = 1)."""
+    """Solve a MISDP by branch-and-bound with batched relaxation solves."""
     settings = settings or Settings()
     bb = settings.bb
     feastol = bb.feastol
     t0 = time.time()
 
-    dense = densify(prob)
-    iface = SDPInterface(dense, settings)
+    sol = _Solver(prob, settings)
     m = prob.nvars
     integral = prob.integral
     obj = prob.obj
+    stats = sol.stats
+    has_rank1 = bool(np.any(sol.dense.rank1))
 
-    stats = BBStats()
-    incumbent_val = np.inf     # internal (min) objective of best solution
+    incumbent_val = np.inf
     incumbent_y: Optional[np.ndarray] = None
 
     root_lb = prob.lb.copy()
     root_ub = prob.ub.copy()
     _apply_indicator_propagation(prob, root_lb, root_ub)
+    # root propagation: activity-based bound tightening derives finite
+    # boxes for free variables constrained only through rows (needed by
+    # rank-1 secant cuts and spatial branching; SCIP-core propagation role)
+    from scipsdp_tpu.core.propagate import tighten_bounds
+    root_lb, root_ub, root_conflict = tighten_bounds(prob, root_lb, root_ub)
+    if root_conflict:
+        stats.wall_time = time.time() - t0
+        return BBResult(SolveStatus.INFEASIBLE, None, None,
+                        prob.external_objval(np.inf), 0.0, stats)
 
     counter = itertools.count()
     frontier: List[Tuple[float, int, _Node]] = []
@@ -132,7 +298,6 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             hit_limit = SolveStatus.TIME_LIMIT
             break
 
-        # pop up to batch_size best-bound nodes
         batch: List[_Node] = []
         while frontier and len(batch) < bb.batch_size:
             _, _, node = heapq.heappop(frontier)
@@ -153,25 +318,25 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 lb[i] = 1.0   # dummy slot: bound conflict, presolved away
                 ub[i] = 0.0
 
-        res = iface.solve_batch(lb, ub)
+        res = sol.solve_relaxations(batch, B, lb, ub)
         stats.nodes += len(batch)
-        stats.relax_solves += 1
-        stats.ipm_iterations += res.iters
-        stats.solver_calls += res.nsolves
-        stats.npenalty += res.npenalty
 
-        # batched rounding heuristic on all usable relaxation solutions
-        # (heur_sdpfracround.c: round by fractionality, check feasibility)
+        # batched rounding heuristic (heur_sdpfracround.c analog)
         if bb.heuristic_fracround:
             yr = res.y.copy()
             yr[:, integral] = np.round(yr[:, integral])
             yr = np.clip(yr, lb, ub)
-            # indicator semantics: binvar rounded to 1 forces slack to 0
             for link in prob.indicators:
                 on = yr[:, link.binvar] >= 0.5
                 yr[on, link.slackvar] = 0.0
-            feas, _ = check_points(iface.data, yr, lb, ub, feastol=feastol)
-            feas = np.asarray(feas)
+            feas, _ = check_points(sol.full_iface.data, yr, lb, ub,
+                                   feastol=feastol)
+            feas = np.array(feas)
+            if has_rank1:
+                for i in range(len(batch)):
+                    if feas[i] and r1.rank1_violation(
+                            sol.dense, yr[i], feastol) is not None:
+                        feas[i] = False
         else:
             feas = np.zeros(B, dtype=bool)
             yr = res.y
@@ -203,69 +368,246 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                     incumbent_y = yr[i].copy()
                     stats.heur_found += 1
 
-            if st == SolverResultStatus.PRESOLVED_OPTIMAL:
-                # all vars fixed & feasible: leaf with known value
+            if (st == SolverResultStatus.PRESOLVED_OPTIMAL
+                    and not has_rank1 and not sol.lp_mode):
+                # all vars fixed & feasible: leaf with known value (in LP
+                # mode / with rank-1 constraints the presolve decision only
+                # covers the relaxation data, so fall through to the full
+                # acceptance check below)
                 if bound < incumbent_val - 1e-12:
                     incumbent_val = bound
                     incumbent_y = 0.5 * (node.lb + node.ub)
                 continue
 
-            # integrality check of the relaxation solution
+            # acceptance check of the relaxation solution
             enforce_ind = -1
-            if y is not None and st == SolverResultStatus.OPTIMAL:
+            spatial = None   # (var, splitval, child cuts) for rank-1
+            if y is not None and st in (SolverResultStatus.OPTIMAL,
+                                        SolverResultStatus.PRESOLVED_OPTIMAL):
                 frac = np.abs(y[integral] - np.round(y[integral]))
                 if frac.size == 0 or np.max(frac) <= feastol:
                     enforce_ind = _violated_indicator(prob, y, feastol)
-                    if enforce_ind < 0:
+                    if enforce_ind < 0 and sol.lp_mode:
+                        # LP mode enforcement (consEnfolpSdp:8235): an
+                        # integral LP solution must still be SDP-feasible;
+                        # if not, separate more cuts and requeue the node
+                        ok, _ = check_points(
+                            sol.full_iface.data, y[None, :],
+                            node.lb[None, :], node.ub[None, :],
+                            feastol=feastol)
+                        if not bool(np.asarray(ok)[0]):
+                            if node.requeues < 20:
+                                sol._separate(y[None, :], 1)
+                                node.bound = bound
+                                node.requeues += 1
+                                heapq.heappush(
+                                    frontier,
+                                    (bound, next(counter), node))
+                            continue
+                    if enforce_ind < 0 and has_rank1:
+                        v = r1.rank1_violation(sol.dense, y, feastol)
+                        if v is not None:
+                            # rank-1 extreme-point heuristic: re-solve the
+                            # node with an objective perturbation driving
+                            # the solution toward a rank-1 extreme point
+                            # of the (near-)optimal face, then project and
+                            # verify; accepts the node when the heuristic
+                            # value meets the node bound
+                            node_done = False
+
+                            def try_candidate(yc):
+                                nonlocal incumbent_val, incumbent_y, node_done
+                                yp = yc.copy()
+                                fr = np.abs(yp[integral]
+                                            - np.round(yp[integral]))
+                                if fr.size and np.max(fr) > feastol:
+                                    if _DEBUG_RANK1:
+                                        print("r1-cand reject: frac", np.max(fr))
+                                    return False
+                                yp[integral] = np.round(yp[integral])
+                                # heuristic candidates carry a small
+                                # least-squares completion residual; accept
+                                # at a modestly relaxed tolerance (their
+                                # objective is evaluated exactly)
+                                okp, violp = check_points(
+                                    sol.full_iface.data, yp[None, :],
+                                    node.lb[None, :], node.ub[None, :],
+                                    feastol=10.0 * feastol)
+                                if not (bool(np.asarray(okp)[0])
+                                        and _violated_indicator(
+                                            prob, yp, feastol) < 0
+                                        and r1.rank1_violation(
+                                            sol.dense, yp, feastol) is None):
+                                    if _DEBUG_RANK1:
+                                        print("r1-cand reject: feas=%s viol=%.3g ind=%d r1=%s obj=%.7f" % (
+                                            bool(np.asarray(okp)[0]), float(np.asarray(violp)[0]),
+                                            _violated_indicator(prob, yp, feastol),
+                                            r1.rank1_violation(sol.dense, yp, feastol),
+                                            float(obj @ yp)))
+                                    return False
+                                val = float(obj @ yp)
+                                if val < incumbent_val - 1e-12:
+                                    incumbent_val = val
+                                    incumbent_y = yp.copy()
+                                    stats.heur_found += 1
+                                if val <= bound + max(
+                                        1e-6, 2e-5 * abs(bound)):
+                                    node_done = True
+                                return True
+
+                            # candidate 1: sign-enumerating rank-1
+                            # completion at the relaxation solution
+                            if try_candidate(
+                                    r1.rank1_complete(sol.dense, y, obj, viol_fn=lambda yv: sol.violation(yv, node.lb, node.ub))):
+                                pass
+                            else:
+                                # candidates 2..: perturbed re-solves that
+                                # land on an extreme point of the optimal
+                                # face (vertices are rank-1 when the face
+                                # contains rank-1 points); first the
+                                # eigen-directed perturbation, then random
+                                # directions (deterministic seed)
+                                oscale = max(1.0, np.abs(obj).max())
+                                dirs = [r1.eigen_perturbation(sol.dense, y)]
+                                rng = np.random.default_rng(
+                                    settings.seed + stats.nodes)
+                                for _ in range(4):
+                                    rd = rng.standard_normal(m)
+                                    rd[integral] = 0.0
+                                    dirs.append(rd)
+                                found_dir = None
+                                for pert in dirs:
+                                    pn = max(1.0, np.abs(pert).max())
+                                    rp = sol.full_iface.solve_batch(
+                                        node.lb[None, :], node.ub[None, :],
+                                        obj=(obj - 1e-2 * oscale
+                                             * pert / pn)[None, :])
+                                    if rp.status[0] != int(
+                                            SolverResultStatus.OPTIMAL):
+                                        continue
+                                    if try_candidate(r1.rank1_project(
+                                            sol.dense, rp.y[0])) or \
+                                       try_candidate(r1.rank1_complete(
+                                            sol.dense, rp.y[0], obj,
+                                            viol_fn=lambda yv: sol.violation(
+                                                yv, node.lb, node.ub))):
+                                        found_dir = pert / pn
+                                        break
+                                if found_dir is not None and not node_done:
+                                    # polish: shrink the perturbation to
+                                    # reduce the O(eps) objective distortion
+                                    for eps in (1e-3, 1e-4):
+                                        rp = sol.full_iface.solve_batch(
+                                            node.lb[None, :],
+                                            node.ub[None, :],
+                                            obj=(obj - eps * oscale
+                                                 * found_dir)[None, :])
+                                        if rp.status[0] != int(
+                                                SolverResultStatus.OPTIMAL):
+                                            break
+                                        ok_polish = (
+                                            try_candidate(r1.rank1_project(
+                                                sol.dense, rp.y[0]))
+                                            or try_candidate(
+                                                r1.rank1_complete(
+                                                    sol.dense, rp.y[0], obj,
+                                                    viol_fn=lambda yv:
+                                                    sol.violation(
+                                                        yv, node.lb,
+                                                        node.ub))))
+                                        if not ok_polish or node_done:
+                                            break
+                            if node_done:
+                                continue
+                            k, s, t, _ = v
+                            j = r1.rank1_branch_var(
+                                sol.dense, k, s, t, y, node.lb, node.ub,
+                                feastol)
+                            if j >= 0:
+                                child_cuts = r1.rank1_cuts(
+                                    sol.dense, k, s, t, node.lb, node.ub)
+                                # split with guaranteed box shrinkage (sBB
+                                # needs the secant interval to contract)
+                                l_, u_ = node.lb[j], node.ub[j]
+                                sv = float(y[j])
+                                if l_ > -INF / 2 and u_ < INF / 2:
+                                    w = u_ - l_
+                                    sv = min(max(sv, l_ + 0.2 * w),
+                                             u_ - 0.2 * w)
+                                elif l_ > -INF / 2:
+                                    sv = max(sv, l_ + 1.0)
+                                elif u_ < INF / 2:
+                                    sv = min(sv, u_ - 1.0)
+                                spatial = (j, sv, child_cuts)
+                    if enforce_ind < 0 and spatial is None:
                         if bound < incumbent_val - 1e-12:
                             incumbent_val = bound
                             incumbent_y = y.copy()
                         continue
 
-            # branch (enforcement branching on a violated indicator first)
+            # branching
             if enforce_ind >= 0:
-                j = enforce_ind
-            elif y is not None:
-                j = select_branch_var(y, obj, integral, feastol,
-                                      bb.branching_rule)
+                j, split = enforce_ind, 0.0
+                is_spatial = False
+            elif spatial is not None:
+                j, split, child_cuts = spatial
+                is_spatial = True
             else:
-                j = -1
-            if enforce_ind >= 0:
-                # binvar is integral at 1: children binvar<=0 / binvar>=1
-                # (the latter propagates slack = 0)
-                split = 0.0
-            elif j < 0:
-                # no fractional candidate but couldn't accept (FAILED or
-                # BOUND_ONLY): branch on any unfixed integer variable
-                unfixed = np.where(integral & (node.ub - node.lb > feastol))[0]
-                if unfixed.size == 0:
-                    continue  # nothing to do
-                j = int(unfixed[0])
-                split = np.floor(0.5 * (node.lb[j] + node.ub[j]))
-            else:
-                split = np.floor(y[j])
+                is_spatial = False
+                if y is not None:
+                    j = select_branch_var(y, obj, integral, feastol,
+                                          bb.branching_rule)
+                else:
+                    j = -1
+                if j < 0:
+                    unfixed = np.where(
+                        integral & (node.ub - node.lb > feastol))[0]
+                    if unfixed.size == 0:
+                        continue  # nothing to do
+                    j = int(unfixed[0])
+                    split = np.floor(0.5 * (node.lb[j] + node.ub[j]))
+                else:
+                    split = np.floor(y[j])
 
-            lb1, ub1 = node.lb.copy(), node.ub.copy()
-            lb2, ub2 = node.lb.copy(), node.ub.copy()
-            ub1[j] = split
-            lb2[j] = split + 1.0
-            for clb, cub in ((lb1, ub1), (lb2, ub2)):
+            if is_spatial:
+                # continuous split at the current value; both children get
+                # the locally valid rank-1 cuts for their (shrunken) boxes
+                children = []
+                for side in (0, 1):
+                    clb, cub = node.lb.copy(), node.ub.copy()
+                    if side == 0:
+                        cub[j] = split
+                    else:
+                        clb[j] = split
+                    ccuts = list(node.cuts)
+                    for g, rhs in child_cuts:
+                        ccuts.append((g, rhs))
+                    children.append((clb, cub, ccuts))
+            else:
+                lb1, ub1 = node.lb.copy(), node.ub.copy()
+                lb2, ub2 = node.lb.copy(), node.ub.copy()
+                ub1[j] = split
+                lb2[j] = split + 1.0
+                children = [(lb1, ub1, list(node.cuts)),
+                            (lb2, ub2, list(node.cuts))]
+
+            for clb, cub, ccuts in children:
                 _apply_indicator_propagation(prob, clb, cub)
                 if np.all(clb <= cub + feastol):
                     heapq.heappush(
                         frontier,
-                        (bound, next(counter), _Node(clb, cub, bound,
-                                                     node.depth + 1)),
+                        (bound, next(counter),
+                         _Node(clb, cub, bound, node.depth + 1, ccuts)),
                     )
 
         if log:
             fb = frontier[0][0] if frontier else incumbent_val
             print(f"nodes={stats.nodes} open={len(frontier)} "
-                  f"incumbent={incumbent_val:.6g} bound={fb:.6g}")
+                  f"incumbent={incumbent_val:.6g} bound={fb:.6g} "
+                  f"cuts={stats.ncuts}")
 
     stats.wall_time = time.time() - t0
 
-    # assemble result (external objective sense)
     if unbounded and incumbent_y is None:
         return BBResult(SolveStatus.UNBOUNDED, None, None,
                         -np.inf * prob.objsense, np.inf, stats)

@@ -88,16 +88,28 @@ class SDPInterface:
         B = arr.shape[0]
         return np.concatenate([arr, np.full((B, 1), val)], axis=1)
 
-    def _run(self, b, lb, ub):
+    def _run(self, b, lb, ub, cuts=None):
         self.stat_nsolves += 1
+        if cuts is None:
+            return self._solve(self.data, jnp.asarray(b), jnp.asarray(lb),
+                               jnp.asarray(ub))
+        Gcut, hcut, cvalid = cuts
         return self._solve(self.data, jnp.asarray(b), jnp.asarray(lb),
-                           jnp.asarray(ub))
+                           jnp.asarray(ub), jnp.asarray(Gcut),
+                           jnp.asarray(hcut), jnp.asarray(cvalid))
 
     # -- main entry --------------------------------------------------------
 
     def solve_batch(self, lb: np.ndarray, ub: np.ndarray,
-                    obj: Optional[np.ndarray] = None) -> BatchSolveResult:
-        """Solve B node relaxations; lb/ub: (B, m) bounds per node."""
+                    obj: Optional[np.ndarray] = None,
+                    cuts=None) -> BatchSolveResult:
+        """Solve B node relaxations; lb/ub: (B, m) bounds per node.
+
+        ``cuts``: optional (Gcut (B,q,m), hcut (B,q), valid (B,q)) per-node
+        linear cut rows  Gcut y >= hcut  in original variable space; the
+        penalty column is 1 (cut rows are relaxed by r like LP rows in the
+        penalty formulation, sdpisolver.h:237-245).
+        """
         ipms = self.settings.ipm
         feastol = ipms.feastol
         B = lb.shape[0]
@@ -106,11 +118,16 @@ class SDPInterface:
             bmat = np.tile(np.asarray(self.data.b_base), (B, 1))
         else:
             bmat = self._extend(np.asarray(obj, dtype=np.float64), 0.0)
+        if cuts is not None:
+            Gc, hc, cval = cuts
+            Gc = np.concatenate(
+                [Gc, np.ones((B, Gc.shape[1], 1))], axis=2)
+            cuts = (Gc, hc, cval)
 
         # rung 1: direct solve, r fixed at 0
         lbx = self._extend(lb, 0.0)
         ubx = self._extend(ub, 0.0)
-        out = self._run(bmat, lbx, ubx)
+        out = self._run(bmat, lbx, ubx, cuts)
         self.stat_iterations += int(out.iters)
 
         status = np.asarray(out.status).copy()
@@ -132,7 +149,7 @@ class SDPInterface:
             ubp[:, m] = INF
             bprobe = np.zeros_like(bmat)
             bprobe[:, m] = 1.0
-            outp = self._run(bprobe, lbx, ubp)
+            outp = self._run(bprobe, lbx, ubp, cuts)
             nsolves += 1
             pstat = np.asarray(outp.status)
             rstar = np.asarray(outp.r)
@@ -158,7 +175,7 @@ class SDPInterface:
                 bpen[:, m] = gamma
                 ubp = ubx.copy()
                 ubp[:, m] = INF
-                outk = self._run(bpen, lbx, ubp)
+                outk = self._run(bpen, lbx, ubp, cuts)
                 nsolves += 1
                 kstat = np.asarray(outk.status)
                 kr = np.asarray(outk.r)
@@ -204,7 +221,7 @@ class SDPInterface:
             art_ub = ubb[:, :m] > BOX_BOUND
             lbb[:, :m] = np.maximum(lbb[:, :m], -BOX_BOUND)
             ubb[:, :m] = np.minimum(ubb[:, :m], BOX_BOUND)
-            outb = self._run(bmat, lbb, ubb)
+            outb = self._run(bmat, lbb, ubb, cuts)
             nsolves += 1
             bstat = np.asarray(outb.status)
             byfull = np.asarray(outb.y)[:, :m]

@@ -1,0 +1,92 @@
+"""Eigenvector cutting planes for SDP blocks.
+
+Batched port of the reference's cut separation (cons_sdp.c):
+``separateSol``:1612 assembles Z(y) = sum_j A_j y_j - A_0 per block,
+computes all eigenvectors with negative eigenvalues
+(SCIPlapackComputeEigenvectorsNegative), and for each eigenvector v emits
+the linear cut  sum_j (v^T A_j v) y_j >= v^T A_0 v
+(``produceCutFromEigenvector``:896, coefficient computation
+``multiplyConstraintMatrix``:827).  On TPU one batched ``eigh`` yields every
+cut of every block of every node at once, and the coefficients are one
+einsum.
+
+Also provides the truncated-power-method sparsification of cuts
+(``truncatedPowerMethod``:1140, ``sparsifyCut``:1243): find an
+s-sparse approximate smallest eigenvector by iterating (shifted) power
+steps truncated to the s largest entries.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scipsdp_tpu.ops.ipm import IPMData
+
+
+class CutBatch(NamedTuple):
+    coefs: jnp.ndarray   # (B, K, n, mp) cut coefficients (v^T A_j v)
+    rhs: jnp.ndarray     # (B, K, n) cut right-hand sides (v^T A_0 v)
+    valid: jnp.ndarray   # (B, K, n) bool: eigenvalue < -tol
+    lam: jnp.ndarray     # (B, K, n) eigenvalues of Z(y)
+
+
+@functools.partial(jax.jit, static_argnames=("tol",))
+def separate_eigenvector_cuts(data: IPMData, y: jnp.ndarray,
+                              tol: float = 1e-6) -> CutBatch:
+    """All eigenvector cuts violated at points ``y`` (B, m or mp).
+
+    The cut from eigenvector v of block k is valid for every feasible
+    point (it is implied by Z_k >= 0); ``valid`` marks those actually
+    violated at y (eigenvalue < -tol).  Returned coefficient rows are in
+    the extended variable space (mp = m + 1, penalty column = v^T I v = 1).
+    """
+    B = y.shape[0]
+    mp = data.A.shape[1]
+    if y.shape[1] == mp - 1:
+        y = jnp.concatenate([y, jnp.zeros((B, 1), y.dtype)], axis=1)
+    Z = jnp.einsum("kjab,xj->xkab", data.A, y) - data.C[None]
+    # mask padding: large positive diagonal so padded eigenpairs are never
+    # selected as negative
+    n = Z.shape[-1]
+    outer = data.dimmask[None, :, :, None] & data.dimmask[None, :, None, :]
+    big = 1.0 + jnp.max(jnp.abs(Z), axis=(-1, -2), keepdims=True)
+    Zm = jnp.where(outer, Z, big * jnp.eye(n, dtype=Z.dtype))
+    lam, V = jnp.linalg.eigh(Zm)          # (B,K,n), (B,K,n,n) columns = vecs
+    # coefficients: for eigenvector v (column e): v^T A_j v
+    coefs = jnp.einsum("xkae,kjab,xkbe->xkej", V, data.A, V)
+    rhs = jnp.einsum("xkae,kab,xkbe->xke", V, data.C, V)
+    # exclude padded blocks / padded eigenpairs (their eigenvalues are the
+    # large positive sentinels, so lam < -tol already excludes them)
+    realblock = data.dimmask.any(axis=1)  # (K,)
+    valid = (lam < -tol) & realblock[None, :, None]
+    return CutBatch(coefs=coefs, rhs=rhs, valid=valid, lam=lam)
+
+
+def sparsify_cut_tpower(Zk: jnp.ndarray, sparsity: int, iters: int = 20):
+    """Truncated power method: s-sparse approximate most-negative
+    eigenvector of symmetric Zk (n, n) (cons_sdp.c:1140-1338).
+
+    Works on the shifted matrix  sigma*I - Z  so the target eigenvalue is
+    the largest; after each power step only the ``sparsity`` largest-
+    magnitude entries are kept.
+    """
+    n = Zk.shape[-1]
+    sigma = jnp.sum(jnp.abs(Zk))  # upper bound on spectral radius
+    Ms = sigma * jnp.eye(n, dtype=Zk.dtype) - Zk
+
+    def trunc(v):
+        av = jnp.abs(v)
+        thresh = jax.lax.top_k(av, sparsity)[0][-1]
+        v = jnp.where(av >= thresh, v, 0.0)
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+    def body(_, v):
+        return trunc(Ms @ v)
+
+    v0 = trunc(jnp.ones((n,), Zk.dtype))
+    v = jax.lax.fori_loop(0, iters, body, v0)
+    return v

@@ -151,19 +151,24 @@ class PresolveOut(NamedTuple):
     fixval: jnp.ndarray    # (B, mp)
     lbmask: jnp.ndarray    # (B, mp) finite-and-free lower bound rows
     ubmask: jnp.ndarray
-    rowmask: jnp.ndarray   # (B, p) active LP rows
+    rowmask: jnp.ndarray   # (B, P) active rows (LP rows ++ cut rows)
     conflict: jnp.ndarray  # (B,) bool
     allfixed: jnp.ndarray  # (B,) bool
     fixed_feasible: jnp.ndarray  # (B,) bool (valid when allfixed)
 
 
-def presolve(data: IPMData, lb, ub, feastol, epsfix, rounds: int) -> PresolveOut:
-    """Vectorized SDPI presolve (sdpi.c:3190-3275, prepareLPData:1131)."""
+def presolve(data: IPMData, Gall, hall, rowvalid, lb, ub, feastol, epsfix,
+             rounds: int) -> PresolveOut:
+    """Vectorized SDPI presolve (sdpi.c:3190-3275, prepareLPData:1131).
+
+    Operates on the unified per-node row system ``Gall`` (B, P, mp) /
+    ``hall`` (B, P): the problem's static LP rows broadcast over the batch
+    followed by per-node cut rows (eigenvector cuts, rank-1 cuts, ...).
+    """
     B = lb.shape[0]
-    G, h = data.G, data.h
-    Gnz = (G != 0)
-    p = G.shape[0]
-    rowmask = jnp.ones((B, p), dtype=bool)
+    P = Gall.shape[1]
+    Gnz = (Gall != 0)
+    rowmask = rowvalid
     conflict = jnp.zeros((B,), dtype=bool)
     barange = jnp.arange(B)[:, None]
 
@@ -174,18 +179,19 @@ def presolve(data: IPMData, lb, ub, feastol, epsfix, rounds: int) -> PresolveOut
         fix = fin_lb & fin_ub & (ub - lb <= epsfix)
         fixval = jnp.where(fix, 0.5 * (lb + ub), 0.0)
         free = ~fix
-        nfree = jnp.einsum("pm,xm->xp", Gnz.astype(lb.dtype), free.astype(lb.dtype))
-        rowconst = jnp.einsum("pm,xm->xp", G, fixval)
+        nfree = jnp.einsum("xpm,xm->xp", Gnz.astype(lb.dtype),
+                           free.astype(lb.dtype))
+        rowconst = jnp.einsum("xpm,xm->xp", Gall, fixval)
         # rows with all variables fixed: check & drop (sdpi.c bound conflicts)
         rows0 = rowmask & (nfree < 0.5)
-        unsat = rows0 & (rowconst < h[None, :] - feastol)
+        unsat = rows0 & (rowconst < hall - feastol)
         conflict = conflict | jnp.any(unsat, axis=1)
         rowmask = rowmask & ~rows0
         # rows with exactly one free variable -> bound (prepareLPData)
         rows1 = rowmask & (nfree > 0.5) & (nfree < 1.5)
-        jstar = jnp.argmax(Gnz[None, :, :] & free[:, None, :], axis=2)  # (B,p)
-        g = G[jnp.arange(p)[None, :], jstar]                            # (B,p)
-        newb = (h[None, :] - rowconst) / jnp.where(jnp.abs(g) > 0, g, 1.0)
+        jstar = jnp.argmax(Gnz & free[:, None, :], axis=2)   # (B, P)
+        g = jnp.take_along_axis(Gall, jstar[:, :, None], axis=2)[:, :, 0]
+        newb = (hall - rowconst) / jnp.where(jnp.abs(g) > 0, g, 1.0)
         cand_lb = jnp.where(rows1 & (g > 0), newb, -jnp.inf)
         cand_ub = jnp.where(rows1 & (g < 0), newb, jnp.inf)
         lb = lb.at[barange, jstar].max(cand_lb)
@@ -223,8 +229,8 @@ class IPMState(NamedTuple):
     y: jnp.ndarray     # (B, mp)
     X: jnp.ndarray     # (B, K, n, n)
     S: jnp.ndarray     # (B, K, n, n)
-    xl: jnp.ndarray    # (B, p)
-    sl: jnp.ndarray    # (B, p)
+    xl: jnp.ndarray    # (B, P)
+    sl: jnp.ndarray    # (B, P)
     xlb: jnp.ndarray   # (B, mp)
     slb: jnp.ndarray   # (B, mp)
     xub: jnp.ndarray   # (B, mp)
@@ -245,34 +251,9 @@ class SolveOutput(NamedTuple):
     dinf: jnp.ndarray       # (B,) constraint residual (scaled)
     iters: jnp.ndarray      # () iterations used by the batch
     X: jnp.ndarray          # (B, K, n, n) primal blocks
-    xl: jnp.ndarray         # (B, p) LP-row primal multipliers
+    xl: jnp.ndarray         # (B, P) row primal multipliers (LP ++ cuts)
     xlb: jnp.ndarray        # (B, mp) lower-bound multipliers (dual fixing!)
     xub: jnp.ndarray        # (B, mp) upper-bound multipliers
-
-
-def _residuals(data: IPMData, st: IPMState, pre: PresolveOut, b, pad_outer):
-    yh = jnp.where(pre.fix, pre.fixval, st.y)
-    Z = jnp.einsum("kjab,xj->xkab", data.A, yh) - data.C[None]
-    Rp = jnp.where(pad_outer, Z - st.S, 0.0)
-    Gy = jnp.einsum("pm,xm->xp", data.G, yh)
-    rpl = jnp.where(pre.rowmask, Gy - data.h[None] - st.sl, 0.0)
-    rplb = jnp.where(pre.lbmask, (yh - pre.lb) - st.slb, 0.0)
-    rpub = jnp.where(pre.ubmask, (pre.ub - yh) - st.sub, 0.0)
-    AstarX = jnp.einsum("kjab,xkba->xj", data.A, st.X)
-    rd = b - AstarX - jnp.einsum("pm,xp->xm", data.G, st.xl) - st.xlb + st.xub
-    rd = jnp.where(pre.fix, 0.0, rd)
-    return yh, Rp, rpl, rplb, rpub, rd
-
-
-def _gap(data: IPMData, st: IPMState, pre: PresolveOut, pad_outer):
-    XS = jnp.where(pad_outer, st.X * st.S, 0.0)  # <X,S> Frobenius (sym)
-    g = (
-        jnp.sum(XS, axis=(1, 2, 3))
-        + jnp.sum(jnp.where(pre.rowmask, st.xl * st.sl, 0.0), axis=1)
-        + jnp.sum(jnp.where(pre.lbmask, st.xlb * st.slb, 0.0), axis=1)
-        + jnp.sum(jnp.where(pre.ubmask, st.xub * st.sub, 0.0), axis=1)
-    )
-    return g
 
 
 def ipm_solve(
@@ -280,6 +261,10 @@ def ipm_solve(
     b: jnp.ndarray,       # (B, mp) objective incl. penalty coefficient
     lb: jnp.ndarray,      # (B, mp)
     ub: jnp.ndarray,      # (B, mp)
+    Gcut: jnp.ndarray = None,     # (B, q, mp) per-node cut rows  Gcut y >= hcut
+    hcut: jnp.ndarray = None,     # (B, q)
+    cutvalid: jnp.ndarray = None,  # (B, q) bool
+    *,
     settings: IPMSettings,
 ) -> SolveOutput:
     """Solve a batch of SDPs. All shapes static; call under jit."""
@@ -289,11 +274,23 @@ def ipm_solve(
     ub = ub.astype(dtype)
     B, mp = b.shape
     K, _, n, _ = data.A.shape
-    p = data.G.shape[0]
     feastol = settings.feastol
     gaptol = settings.gaptol
 
-    pre = presolve(data, lb, ub, feastol, settings.epsilon, settings.presolve_rounds)
+    # unified per-node row system: static LP rows ++ per-node cuts
+    Gs = jnp.broadcast_to(data.G[None], (B,) + data.G.shape)
+    hs = jnp.broadcast_to(data.h[None], (B, data.G.shape[0]))
+    valids = jnp.ones((B, data.G.shape[0]), dtype=bool)
+    if Gcut is not None:
+        Gall = jnp.concatenate([Gs, Gcut.astype(dtype)], axis=1)
+        hall = jnp.concatenate([hs, hcut.astype(dtype)], axis=1)
+        rowvalid = jnp.concatenate([valids, cutvalid], axis=1)
+    else:
+        Gall, hall, rowvalid = Gs, hs, valids
+    P = Gall.shape[1]
+
+    pre = presolve(data, Gall, hall, rowvalid, lb, ub, feastol,
+                   settings.epsilon, settings.presolve_rounds)
 
     pad_diag = data.dimmask[None, :, :]                       # (1, K, n)
     pad_outer = pad_diag[..., :, None] & pad_diag[..., None, :]  # (1,K,n,n)
@@ -324,7 +321,7 @@ def ipm_solve(
     normb_orig = jnp.max(jnp.abs(b[:, : data.nvars]), axis=1) if data.nvars > 0 \
         else jnp.zeros((B,), dtype)
     normZ0 = jnp.max(jnp.abs(jnp.where(pad_outer, Z0, 0.0)), axis=(1, 2, 3))
-    normh = jnp.max(jnp.abs(data.h)) if p > 0 else jnp.asarray(0.0, dtype)
+    normh = jnp.max(jnp.abs(jnp.where(pre.rowmask, hall, 0.0)), axis=1)
     scale = settings.init_point_scale * jnp.maximum(
         1.0, jnp.maximum(normb_orig, jnp.maximum(normZ0, normh))
     )  # (B,)
@@ -332,7 +329,7 @@ def ipm_solve(
     X0 = xi * eyen[None, None] * jnp.ones((B, K, 1, 1), dtype)
     S0 = X0
     sl0 = jnp.where(pre.rowmask,
-                    jnp.maximum(jnp.einsum("pm,xm->xp", data.G, y0) - data.h[None],
+                    jnp.maximum(jnp.einsum("xpm,xm->xp", Gall, y0) - hall,
                                 scale[:, None]),
                     1.0)
     xl0 = jnp.where(pre.rowmask, scale[:, None], 0.0)
@@ -353,9 +350,32 @@ def ipm_solve(
     )
     free_outer = (~pre.fix)[:, :, None] & (~pre.fix)[:, None, :]
 
+    def residuals(st: IPMState):
+        yh = jnp.where(pre.fix, pre.fixval, st.y)
+        Z = jnp.einsum("kjab,xj->xkab", data.A, yh) - data.C[None]
+        Rp = jnp.where(pad_outer, Z - st.S, 0.0)
+        Gy = jnp.einsum("xpm,xm->xp", Gall, yh)
+        rpl = jnp.where(pre.rowmask, Gy - hall - st.sl, 0.0)
+        rplb = jnp.where(pre.lbmask, (yh - pre.lb) - st.slb, 0.0)
+        rpub = jnp.where(pre.ubmask, (pre.ub - yh) - st.sub, 0.0)
+        AstarX = jnp.einsum("kjab,xkba->xj", data.A, st.X)
+        rd = (b - AstarX - jnp.einsum("xpm,xp->xm", Gall, st.xl)
+              - st.xlb + st.xub)
+        rd = jnp.where(pre.fix, 0.0, rd)
+        return yh, Rp, rpl, rplb, rpub, rd
+
+    def comp_gap(st: IPMState):
+        XS = jnp.where(pad_outer, st.X * st.S, 0.0)  # <X,S> Frobenius (sym)
+        return (
+            jnp.sum(XS, axis=(1, 2, 3))
+            + jnp.sum(jnp.where(pre.rowmask, st.xl * st.sl, 0.0), axis=1)
+            + jnp.sum(jnp.where(pre.lbmask, st.xlb * st.slb, 0.0), axis=1)
+            + jnp.sum(jnp.where(pre.ubmask, st.xub * st.sub, 0.0), axis=1)
+        )
+
     def converged_mask(st: IPMState):
-        yh, Rp, rpl, rplb, rpub, rd = _residuals(data, st, pre, b, pad_outer)
-        gap = _gap(data, st, pre, pad_outer)
+        yh, Rp, rpl, rplb, rpub, rd = residuals(st)
+        gap = comp_gap(st)
         dobj = jnp.sum(b * yh, axis=1)
         # explicit primal (Lagrange-dual) objective of the reduced problem
         # with fixed variables folded into the constant data:
@@ -363,8 +383,8 @@ def ipm_solve(
         CX = jnp.sum(jnp.where(pad_outer, data.C[None] * st.X, 0.0),
                      axis=(1, 2, 3))
         AstarX = jnp.einsum("kjab,xkba->xj", data.A, st.X)
-        GTxl = jnp.einsum("pm,xp->xm", data.G, st.xl)
-        hxl = jnp.einsum("p,xp->x", data.h, jnp.where(pre.rowmask, st.xl, 0.0))
+        GTxl = jnp.einsum("xpm,xp->xm", Gall, st.xl)
+        hxl = jnp.sum(jnp.where(pre.rowmask, hall * st.xl, 0.0), axis=1)
         lxlb = jnp.sum(jnp.where(pre.lbmask, pre.lb * st.xlb, 0.0), axis=1)
         uxub = jnp.sum(jnp.where(pre.ubmask, pre.ub * st.xub, 0.0), axis=1)
         fixcorr = jnp.sum(
@@ -398,8 +418,8 @@ def ipm_solve(
         return (st.it < settings.max_iters) & ~jnp.all(st.done)
 
     def body(st: IPMState) -> IPMState:
-        yh, Rp, rpl, rplb, rpub, rd = _residuals(data, st, pre, b, pad_outer)
-        gap = _gap(data, st, pre, pad_outer)
+        yh, Rp, rpl, rplb, rpub, rd = residuals(st)
+        gap = comp_gap(st)
         mu = gap / nu
 
         Lx = jnp.linalg.cholesky(st.X)
@@ -412,7 +432,7 @@ def ipm_solve(
         U = jnp.einsum("xkjaf,xkfc->xkjac", T, Sinv)
         M = jnp.einsum("kiac,xkjca->xij", data.A, U)
         wl = jnp.where(pre.rowmask, st.xl / st.sl, 0.0)
-        M = M + jnp.einsum("pi,xp,pj->xij", data.G, wl, data.G)
+        M = M + jnp.einsum("xpi,xp,xpj->xij", Gall, wl, Gall)
         wlb = jnp.where(pre.lbmask, st.xlb / st.slb, 0.0)
         wub = jnp.where(pre.ubmask, st.xub / st.sub, 0.0)
         M = M + (wlb + wub)[:, :, None] * jnp.eye(mp, dtype=dtype)[None]
@@ -428,7 +448,7 @@ def ipm_solve(
             PsiSinv = jnp.einsum("xkab,xkbc->xkac", Psi, Sinv)
             rhs = (
                 jnp.einsum("kjab,xkba->xj", data.A, PsiSinv)
-                + jnp.einsum("pm,xp->xm", data.G,
+                + jnp.einsum("xpm,xp->xm", Gall,
                              jnp.where(pre.rowmask,
                                        (rcl - st.xl * rpl) / st.sl, 0.0))
                 + jnp.where(pre.lbmask, (rclb - st.xlb * rplb) / st.slb, 0.0)
@@ -443,7 +463,7 @@ def ipm_solve(
                 0.0,
             )
             dsl = jnp.where(pre.rowmask,
-                            jnp.einsum("pm,xm->xp", data.G, dy) + rpl, 0.0)
+                            jnp.einsum("xpm,xm->xp", Gall, dy) + rpl, 0.0)
             dslb = jnp.where(pre.lbmask, dy + rplb, 0.0)
             dsub = jnp.where(pre.ubmask, -dy + rpub, 0.0)
             dX = jnp.einsum(

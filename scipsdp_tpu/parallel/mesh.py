@@ -81,6 +81,6 @@ def sharded_solver(data: IPMData, settings: IPMSettings, mesh: Mesh):
         donate_argnums=(),
     )
     def solve(d, b, lb, ub):
-        return ipm_solve(d, b, lb, ub, settings)
+        return ipm_solve(d, b, lb, ub, settings=settings)
 
     return functools.partial(solve, data)

@@ -56,24 +56,39 @@ def main():
     rng = np.random.default_rng(0)
     m = data.nvars
 
+    # root relaxation solution guides realistic branching-style bounds
+    def root_solution():
+        lb0 = np.concatenate([prob.lb, [0.0]])[None, :]
+        ub0 = np.concatenate([prob.ub, [0.0]])[None, :]
+        b0 = np.concatenate([prob.obj, [0.0]])[None, :]
+        out = solve(data, jnp.asarray(b0), jnp.asarray(lb0), jnp.asarray(ub0))
+        return np.asarray(out.y)[0, :m]
+
+    yroot = None
+
     def make_batch(seed):
-        # simulate a B&B node batch: root bounds with random integer-var
-        # branching fixings layered on top
+        # simulate a B&B node batch: root bounds plus one-sided branching
+        # bounds (floor/ceil around the root relaxation values) — the
+        # realistic shape of open-node batches
+        nonlocal_yroot = yroot
         lb = np.tile(np.concatenate([prob.lb, [0.0]]), (B, 1))
         ub = np.tile(np.concatenate([prob.ub, [0.0]]), (B, 1))
         r = np.random.default_rng(seed)
         ints = np.where(prob.integral)[0]
-        for i in range(B):
-            if len(ints) and i > 0:
-                picks = r.choice(ints, size=min(3, len(ints)), replace=False)
-                for j in picks:
-                    v = float(r.integers(0, 2))
-                    lb[i, j] = max(lb[i, j], v)
-                    ub[i, j] = min(ub[i, j], v)
-                    if lb[i, j] > ub[i, j]:
-                        lb[i, j] = ub[i, j]
+        for i in range(1, B):
+            if not len(ints):
+                break
+            picks = r.choice(ints, size=min(2, len(ints)), replace=False)
+            for j in picks:
+                v = nonlocal_yroot[j]
+                if r.integers(0, 2):
+                    ub[i, j] = min(ub[i, j], np.floor(v))
+                else:
+                    lb[i, j] = max(lb[i, j], np.floor(v) + 1.0)
         b = np.tile(np.concatenate([prob.obj, [0.0]]), (B, 1))
         return jnp.asarray(b), jnp.asarray(lb), jnp.asarray(ub)
+
+    yroot = root_solution()
 
     # compile
     b, lb, ub = make_batch(0)

@@ -298,10 +298,16 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             hit_limit = SolveStatus.TIME_LIMIT
             break
 
+        # bound pruning slack: rank-1 heuristic incumbents are only
+        # ~feastol-accurate, so close the tree at a matching relative gap
+        # (the reference's own tolerances are 1e-5, BASELINE.md)
+        prune_slack = max(1e-9, (2e-5 if has_rank1 else 1e-6)
+                          * abs(incumbent_val if np.isfinite(incumbent_val)
+                                else 0.0))
         batch: List[_Node] = []
         while frontier and len(batch) < bb.batch_size:
             _, _, node = heapq.heappop(frontier)
-            if node.bound >= incumbent_val - 1e-9:      # late bound pruning
+            if node.bound >= incumbent_val - prune_slack:  # late bound pruning
                 continue
             batch.append(node)
         if not batch:
@@ -357,7 +363,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 bound = float(res.objval[i])
                 y = res.y[i]
 
-            if bound >= incumbent_val - 1e-9 + bb.gaplimit * abs(incumbent_val):
+            if bound >= incumbent_val - prune_slack + bb.gaplimit * abs(
+                    incumbent_val):
                 continue  # bound pruning
 
             # heuristic incumbent

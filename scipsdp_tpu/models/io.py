@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from scipsdp_tpu.models.problem import MISDP
 from scipsdp_tpu.models.reader_cbf import read_cbf
+from scipsdp_tpu.models.reader_cip import read_cip
 from scipsdp_tpu.models.reader_sdpa import ReadError, read_sdpa
 
 __all__ = ["read_problem", "ReadError"]
@@ -19,4 +20,6 @@ def read_problem(path: str) -> MISDP:
         return read_sdpa(path)
     if base.endswith(".cbf"):
         return read_cbf(path)
+    if base.endswith(".cip"):
+        return read_cip(path)
     raise ReadError(f"unknown problem file extension: {path}")

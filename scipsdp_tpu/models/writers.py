@@ -1,0 +1,178 @@
+"""Problem writers: extended SDPA ``.dat-s`` and CBF.
+
+Analog of the reference's writer halves (reader_sdpa.c SCIP_DECL_READERWRITE,
+reader_cbf.c CBFwrite): emit a MISDP in either format such that reading it
+back yields an equivalent problem (the round-trip property tested by
+unittests/src/readwrite.c).
+
+Limitations mirroring the data model: variable bounds are emitted as LP
+rows in SDPA form (the format has no bound section); indicator constraints
+are emitted with the negative-variable-index extension in SDPA form and are
+not representable in CBF (error, like the reference's CBF writer for
+unsupported constructs).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from scipsdp_tpu.models.problem import INF, MISDP
+
+
+def write_sdpa(prob: MISDP, path: str) -> None:
+    """Write the extended sparse SDPA format (sdpa_format.txt)."""
+    # assemble LP rows in >=-form: original rows (lhs then rhs sides would
+    # change row count; SDPA rows are single-sided >=) plus finite bounds
+    rows: List[tuple] = []   # (coefs dict var->val, rhs, indvar or None)
+    D = prob.lp.dense(prob.nvars)
+    for i in range(prob.lp.nrows):
+        ind = None
+        for link in prob.indicators:
+            if link.row == i:
+                ind = link.binvar
+        coefs = {j: D[i, j] for j in np.nonzero(D[i])[0]}
+        if ind is not None:
+            # drop the slack variable column (implied by the extension)
+            slack = [l.slackvar for l in prob.indicators if l.row == i]
+            for s in slack:
+                coefs.pop(s, None)
+        if prob.lp.lhs[i] > -INF:
+            rows.append((coefs, prob.lp.lhs[i], ind))
+        if prob.lp.rhs[i] < INF:
+            rows.append(({j: -v for j, v in coefs.items()},
+                         -prob.lp.rhs[i], ind))
+    slackvars = {l.slackvar for l in prob.indicators}
+    for j in range(prob.nvars):
+        if j in slackvars:
+            continue
+        binvars = {l.binvar for l in prob.indicators}
+        if prob.lb[j] > -INF and not (j in binvars and prob.lb[j] == 0.0):
+            rows.append(({j: 1.0}, prob.lb[j], None))
+        if prob.ub[j] < INF and not (j in binvars and prob.ub[j] == 1.0):
+            rows.append(({j: -1.0}, -prob.ub[j], None))
+
+    nblocks = prob.nblocks + (1 if rows else 0)
+    lp_index = prob.nblocks + 1  # 1-based
+
+    lines = []
+    lines.append(f"{prob.nvars}")
+    lines.append(f"{nblocks}")
+    sizes = [str(b.size) for b in prob.blocks]
+    if rows:
+        sizes.append(str(-len(rows)))
+    lines.append(" ".join(sizes))
+    lines.append(" ".join(repr(float(v)) for v in prob.obj))
+
+    for bi, blk in enumerate(prob.blocks, 1):
+        for v, r, c, val in zip(blk.var, blk.row, blk.col, blk.val):
+            lines.append(f"{v + 1} {bi} {r + 1} {c + 1} {float(val)!r}")
+        for r, c, val in zip(blk.const_row, blk.const_col, blk.const_val):
+            lines.append(f"0 {bi} {r + 1} {c + 1} {float(val)!r}")
+    for ri, (coefs, rhs, ind) in enumerate(rows, 1):
+        for j, val in sorted(coefs.items()):
+            if val != 0.0:
+                lines.append(f"{j + 1} {lp_index} {ri} {ri} {float(val)!r}")
+        if rhs != 0.0 or not coefs:
+            lines.append(f"0 {lp_index} {ri} {ri} {float(rhs)!r}")
+        if ind is not None:
+            lines.append(f"{-(ind + 1)} {lp_index} {ri} {ri} 1")
+
+    ints = [j for j in range(prob.nvars) if prob.integral[j]]
+    if ints:
+        lines.append("*INTEGER")
+        lines.extend(f"*{j + 1}" for j in ints)
+    r1 = [bi for bi, blk in enumerate(prob.blocks, 1) if blk.rank1]
+    if r1:
+        lines.append("*RANK1")
+        lines.extend(f"*{bi}" for bi in r1)
+
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def write_cbf(prob: MISDP, path: str) -> None:
+    """Write CBF version 1 (reader_cbf.c CBFwrite analog).
+
+    Scalar variables are emitted as free with bounds as L+/L- rows; SDP
+    blocks become PSDCON constraints.  Indicator constraints are not
+    representable in CBF.
+    """
+    if prob.indicators:
+        raise ValueError("indicator constraints cannot be written to CBF")
+
+    lines = ["VER", "1", "", "OBJSENSE", "MIN", ""]
+    lines += ["VAR", f"{prob.nvars} 1", f"F {prob.nvars}", ""]
+
+    ints = [j for j in range(prob.nvars) if prob.integral[j]]
+    if ints:
+        lines += ["INT", str(len(ints))] + [str(j) for j in ints] + [""]
+
+    # scalar constraints: original rows (per finite side) + finite bounds
+    con_rows: List[tuple] = []   # (coefs, b_const, cone)
+    D = prob.lp.dense(prob.nvars)
+    for i in range(prob.lp.nrows):
+        coefs = {j: D[i, j] for j in np.nonzero(D[i])[0]}
+        lo, hi = prob.lp.lhs[i], prob.lp.rhs[i]
+        if lo > -INF and hi < INF and lo == hi:
+            con_rows.append((coefs, -lo, "L="))
+            continue
+        if lo > -INF:
+            con_rows.append((coefs, -lo, "L+"))
+        if hi < INF:
+            con_rows.append((coefs, -hi, "L-"))
+    for j in range(prob.nvars):
+        if prob.lb[j] > -INF:
+            con_rows.append(({j: 1.0}, -prob.lb[j], "L+"))
+        if prob.ub[j] < INF:
+            con_rows.append(({j: 1.0}, -prob.ub[j], "L-"))
+
+    # group by cone for the CON section (order: L=, L+, L-)
+    order = {"L=": 0, "L+": 1, "L-": 2}
+    con_rows.sort(key=lambda t: order[t[2]])
+    counts = {c: sum(1 for r in con_rows if r[2] == c) for c in order}
+    lines += ["CON", f"{len(con_rows)} {sum(1 for c in order if counts[c])}"]
+    for c in ("L=", "L+", "L-"):
+        if counts[c]:
+            lines.append(f"{c} {counts[c]}")
+    lines.append("")
+
+    if prob.nblocks:
+        lines += ["PSDCON", str(prob.nblocks)]
+        lines += [str(b.size) for b in prob.blocks]
+        lines.append("")
+        r1 = [k for k, b in enumerate(prob.blocks) if b.rank1]
+        if r1:
+            lines += ["PSDCONRANK1", str(len(r1))] + [str(k) for k in r1]
+            lines.append("")
+
+    objc = [(j, v) for j, v in enumerate(prob.obj) if v != 0.0]
+    lines += ["OBJACOORD", str(len(objc))]
+    lines += [f"{j} {float(v)!r}" for j, v in objc]
+    lines.append("")
+
+    acoord = []
+    bcoord = []
+    for i, (coefs, bconst, _) in enumerate(con_rows):
+        for j, v in sorted(coefs.items()):
+            if v != 0.0:
+                acoord.append(f"{i} {j} {float(v)!r}")
+        if bconst != 0.0:
+            bcoord.append(f"{i} {float(bconst)!r}")
+    lines += ["ACOORD", str(len(acoord))] + acoord + [""]
+    lines += ["BCOORD", str(len(bcoord))] + bcoord + [""]
+
+    hcoord = []
+    dcoord = []
+    for k, blk in enumerate(prob.blocks):
+        for v, r, c, val in zip(blk.var, blk.row, blk.col, blk.val):
+            hcoord.append(f"{k} {v} {r} {c} {float(val)!r}")
+        # A_0 stored as subtracted constant: D = -A_0
+        for r, c, val in zip(blk.const_row, blk.const_col, blk.const_val):
+            dcoord.append(f"{k} {r} {c} {float(-val)!r}")
+    lines += ["HCOORD", str(len(hcoord))] + hcoord + [""]
+    lines += ["DCOORD", str(len(dcoord))] + dcoord + [""]
+
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -37,15 +37,16 @@ FAST_CASES = [
     ("example_multaggr.cbf", -1.0),
     ("example_diagzeroimpl.cbf", -1.0),
     ("example_tightenmatrices.dat-s", -9.0),
+    ("example_rank1_primal.cbf", 0.6537946),
 ]
 
 SLOW_CASES = [
+    ("example_indicator.cip.gz", 6.56155281280000e+05),
     ("example_multaggr2.cbf", 4.0),
     ("example_multaggr3.cbf", 4.0),
     ("example_TT.dat-s.gz", 2.11803),
     ("example_CLS.dat-s.gz", 7.1485),
     ("example_MkP.dat-s.gz", -95.0),
-    ("example_rank1_primal.cbf", 0.6537946),
     ("example_rank1_dual.cbf", 0.6537946),
 ]
 

@@ -1,0 +1,92 @@
+"""Command-line driver.
+
+Minimal analog of the reference's shell (src/scipsdp/main.c -> SCIP shell):
+read a problem (.dat-s/.cbf/.cip, optionally .gz), solve it, print the
+solve log and statistics, optionally write the solution / the problem.
+
+    python -m scipsdp_tpu INSTANCE [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="scipsdp_tpu",
+        description="TPU-native mixed-integer SDP solver (SCIP-SDP capability)")
+    ap.add_argument("instance", help="problem file (.dat-s/.cbf/.cip[.gz])")
+    ap.add_argument("--lp-approx", action="store_true",
+                    help="LP outer approximation mode (misc/solvesdps = 0)")
+    ap.add_argument("--gaptol", type=float, default=1e-5)
+    ap.add_argument("--feastol", type=float, default=1e-5)
+    ap.add_argument("--node-limit", type=int, default=1_000_000)
+    ap.add_argument("--time-limit", type=float, default=1e20)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--branching", default="infobjective",
+                    choices=["mostfrac", "mostinf", "objective",
+                             "infobjective"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend")
+    ap.add_argument("-q", "--quiet", action="store_true")
+    ap.add_argument("--write", metavar="OUT",
+                    help="write the problem to OUT (.dat-s or .cbf)")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    from scipsdp_tpu.core.branchbound import solve_misdp
+    from scipsdp_tpu.models.io import read_problem
+    from scipsdp_tpu.utils.config import BBSettings, IPMSettings, Settings
+    from scipsdp_tpu.utils.statistics import format_relax_statistics
+
+    prob = read_problem(args.instance)
+    if not args.quiet:
+        print(f"read problem <{prob.name}>: {prob.nvars} variables "
+              f"({int(prob.integral.sum())} integer), {prob.nblocks} SDP "
+              f"block(s), {prob.lp.nrows} linear constraint(s), "
+              f"{len(prob.indicators)} indicator constraint(s)")
+
+    if args.write:
+        from scipsdp_tpu.models.writers import write_cbf, write_sdpa
+        if args.write.endswith(".cbf"):
+            write_cbf(prob, args.write)
+        else:
+            write_sdpa(prob, args.write)
+        print(f"wrote problem to {args.write}")
+
+    settings = Settings(
+        ipm=IPMSettings(gaptol=args.gaptol, feastol=args.feastol),
+        bb=BBSettings(feastol=args.feastol, node_limit=args.node_limit,
+                      time_limit=args.time_limit, batch_size=args.batch_size,
+                      branching_rule=args.branching),
+        solve_sdps=0 if args.lp_approx else 1,
+    )
+    res = solve_misdp(prob, settings, log=not args.quiet)
+
+    print(f"\nSCIP-SDP-TPU status : {res.status.name}")
+    if res.objval is not None:
+        print(f"objective value     : {res.objval:.10g}")
+    print(f"dual bound          : {res.dual_bound:.10g}")
+    print(f"gap                 : {res.gap:.3g}")
+    print()
+    print(format_relax_statistics(res.stats))
+    if res.best_y is not None and not args.quiet:
+        names = prob.varnames or [f"x{j}" for j in range(prob.nvars)]
+        nz = [(names[j], v) for j, v in enumerate(res.best_y) if abs(v) > 1e-9]
+        print("\nsolution (nonzero entries):")
+        for nm, v in nz[:50]:
+            print(f"  {nm:<24} {v:.10g}")
+        if len(nz) > 50:
+            print(f"  ... ({len(nz) - 50} more)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

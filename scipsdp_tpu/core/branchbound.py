@@ -41,6 +41,7 @@ import numpy as np
 
 from scipsdp_tpu.core.branching import select_branch_var
 from scipsdp_tpu.core.feascheck import check_points
+from scipsdp_tpu.core.propredcost import redcost_tighten
 from scipsdp_tpu.core import rank1 as r1
 from scipsdp_tpu.core.sdpi import SDPInterface
 from scipsdp_tpu.models.problem import INF, MISDP, DenseSDPData, densify
@@ -65,6 +66,7 @@ class BBStats:
     heur_found: int = 0
     ncuts: int = 0
     sep_rounds: int = 0
+    redcost_tightenings: int = 0
     wall_time: float = 0.0
 
 
@@ -327,22 +329,41 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         res = sol.solve_relaxations(batch, B, lb, ub)
         stats.nodes += len(batch)
 
-        # batched rounding heuristic (heur_sdpfracround.c analog)
+        # batched rounding heuristics: nearest rounding
+        # (heur_sdpfracround.c) and randomized rounding (heur_sdprand.c) —
+        # each candidate set costs one batched feasibility check
         if bb.heuristic_fracround:
+            rng_h = np.random.default_rng(settings.seed + stats.nodes)
+            cands = []
+            yr0 = res.y.copy()
+            yr0[:, integral] = np.round(yr0[:, integral])
+            cands.append(yr0)
+            yr1 = res.y.copy()
+            frac1 = yr1[:, integral] - np.floor(yr1[:, integral])
+            yr1[:, integral] = np.floor(yr1[:, integral]) + (
+                rng_h.random(frac1.shape) < frac1)
+            cands.append(yr1)
+            feas = np.zeros(B, dtype=bool)
             yr = res.y.copy()
-            yr[:, integral] = np.round(yr[:, integral])
-            yr = np.clip(yr, lb, ub)
-            for link in prob.indicators:
-                on = yr[:, link.binvar] >= 0.5
-                yr[on, link.slackvar] = 0.0
-            feas, _ = check_points(sol.full_iface.data, yr, lb, ub,
-                                   feastol=feastol)
-            feas = np.array(feas)
-            if has_rank1:
-                for i in range(len(batch)):
-                    if feas[i] and r1.rank1_violation(
-                            sol.dense, yr[i], feastol) is not None:
-                        feas[i] = False
+            best = np.full(B, np.inf)
+            for yc in cands:
+                yc = np.clip(yc, lb, ub)
+                for link in prob.indicators:
+                    on = yc[:, link.binvar] >= 0.5
+                    yc[on, link.slackvar] = 0.0
+                f, _ = check_points(sol.full_iface.data, yc, lb, ub,
+                                    feastol=feastol)
+                f = np.array(f)
+                if has_rank1:
+                    for i in range(len(batch)):
+                        if f[i] and r1.rank1_violation(
+                                sol.dense, yc[i], feastol) is not None:
+                            f[i] = False
+                vals = yc @ obj
+                better = f & (vals < best)
+                yr[better] = yc[better]
+                best[better] = vals[better]
+                feas = feas | better
         else:
             feas = np.zeros(B, dtype=bool)
             yr = res.y
@@ -551,6 +572,14 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                             incumbent_val = bound
                             incumbent_y = y.copy()
                         continue
+
+            # reduced-cost / dual fixing propagation on the node bounds
+            # (prop_sdpredcost.c analog; children inherit the tightening)
+            if (st == SolverResultStatus.OPTIMAL
+                    and np.isfinite(incumbent_val)):
+                stats.redcost_tightenings += redcost_tighten(
+                    node.lb, node.ub, y, res.xlb[i], res.xub[i],
+                    bound, incumbent_val, integral, feastol)
 
             # branching
             if enforce_ind >= 0:

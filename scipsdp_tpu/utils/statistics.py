@@ -1,0 +1,37 @@
+"""End-of-run statistics tables.
+
+Analog of the reference's display columns and statistics tables
+(disp_sdpiterations.c, disp_sdpavgiterations.c, disp_sdppenalty.c,
+disp_sdpunsolved.c; table_relaxsdp.c; relax_sdp.c's ~35 statistics
+getters:6016-6562): the same counters, formatted as one text table.
+"""
+
+from __future__ import annotations
+
+
+def format_relax_statistics(stats, iface=None) -> str:
+    """Render the relaxator statistics table (table_relaxsdp analog)."""
+    lines = ["SDP relaxator statistics:"]
+
+    def row(k, v):
+        lines.append(f"  {k:<32}: {v}")
+
+    row("B&B nodes", stats.nodes)
+    row("batched relaxation solves", stats.relax_solves)
+    row("solver calls (incl. ladder)", stats.solver_calls)
+    row("IPM iterations (direct solves)", stats.ipm_iterations)
+    avg = stats.ipm_iterations / max(stats.relax_solves, 1)
+    row("average IPM iterations", f"{avg:.2f}")
+    row("penalty-formulation decisions", stats.npenalty)
+    row("unsolved relaxations", stats.nunsolved)
+    row("heuristic solutions found", stats.heur_found)
+    row("cutting planes", stats.ncuts)
+    row("separation rounds", stats.sep_rounds)
+    row("redcost bound tightenings", stats.redcost_tightenings)
+    row("wall time (s)", f"{stats.wall_time:.2f}")
+    if iface is not None:
+        row("interface: total solves", iface.stat_nsolves)
+        row("interface: feasibility probes", iface.stat_nprobes)
+        row("interface: penalty successes", iface.stat_npenalty)
+        row("interface: unsolved", iface.stat_nunsolved)
+    return "\n".join(lines)

@@ -133,11 +133,15 @@ class _Solver:
                       ub=prob.ub, integral=prob.integral, blocks=[],
                       lp=prob.lp, indicators=prob.indicators,
                       name=prob.name + "_lp"))
+            pairs = [(l.binvar, l.slackvar) for l in prob.indicators]
             self.iface = SDPInterface(lp_dense, settings)
             # full data (for separation + feasibility checks)
-            self.full_iface = SDPInterface(self.dense, settings)
+            self.full_iface = SDPInterface(self.dense, settings,
+                                           indicator_pairs=pairs)
         else:
-            self.iface = SDPInterface(self.dense, settings)
+            pairs = [(l.binvar, l.slackvar) for l in prob.indicators]
+            self.iface = SDPInterface(self.dense, settings,
+                                      indicator_pairs=pairs)
             self.full_iface = self.iface
         self.pool: List[Tuple[np.ndarray, float]] = []  # global cuts
         self._pool_keys = set()
@@ -226,7 +230,11 @@ class _Solver:
     def solve_relaxations(self, batch: List[_Node], B: int,
                           lb: np.ndarray, ub: np.ndarray):
         cuts = self._assemble_cuts(batch, B)
-        res = self.iface.solve_batch(lb, ub, cuts=cuts)
+        # in SDP mode the rounding heuristics ride the solve dispatch
+        # (relaxation data == full data); LP mode checks on host below
+        seed = (None if self.lp_mode
+                else self.settings.seed + 7919 * self.stats.nodes)
+        res = self.iface.solve_batch(lb, ub, cuts=cuts, rounding_seed=seed)
         self.stats.relax_solves += 1
         self.stats.ipm_iterations += res.iters
         self.stats.solver_calls += res.nsolves
@@ -332,7 +340,16 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         # batched rounding heuristics: nearest rounding
         # (heur_sdpfracround.c) and randomized rounding (heur_sdprand.c) —
         # each candidate set costs one batched feasibility check
-        if bb.heuristic_fracround:
+        if bb.heuristic_fracround and res.round_feas is not None:
+            # fused path: candidates were rounded + checked on device
+            yr = res.round_y
+            feas = res.round_feas.copy()
+            if has_rank1:
+                for i in range(len(batch)):
+                    if feas[i] and r1.rank1_violation(
+                            sol.dense, yr[i], feastol) is not None:
+                        feas[i] = False
+        elif bb.heuristic_fracround:
             rng_h = np.random.default_rng(settings.seed + stats.nodes)
             cands = []
             yr0 = res.y.copy()

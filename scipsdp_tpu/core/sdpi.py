@@ -58,6 +58,10 @@ class BatchSolveResult:
     nsolves: int          # total batched solver invocations used
     npenalty: int         # instances decided via penalty formulation
     nunsolved: int        # instances with no usable information
+    # fused rounding-heuristic results (when solve_batch got a seed)
+    round_y: Optional[np.ndarray] = None     # (B, m) best rounded points
+    round_feas: Optional[np.ndarray] = None  # (B,) feasibility flags
+    round_val: Optional[np.ndarray] = None   # (B,) objective values
 
 
 class SDPInterface:
@@ -67,7 +71,8 @@ class SDPInterface:
     per-node objective), matching how B&B node relaxations differ.
     """
 
-    def __init__(self, dense: DenseSDPData, settings: Optional[Settings] = None):
+    def __init__(self, dense: DenseSDPData, settings: Optional[Settings] = None,
+                 indicator_pairs=None):
         self.settings = settings or Settings()
         self.dense = dense
         self.data: IPMData = build_ipm_data(dense)
@@ -75,6 +80,13 @@ class SDPInterface:
         self._solve = jax.jit(
             functools.partial(ipm_solve, settings=self.settings.ipm)
         )
+        # fused solve + rounding-heuristic dispatch (saves device round
+        # trips: the environment is dispatch-latency-bound)
+        self._indicator_pairs = (
+            np.asarray(indicator_pairs, dtype=np.int32).reshape(-1, 2)
+            if indicator_pairs is not None and len(indicator_pairs)
+            else np.zeros((0, 2), np.int32))
+        self._fused = jax.jit(self._fused_impl)
         # statistics (the relaxator's counters, relax_sdp.c:166-235)
         self.stat_nsolves = 0
         self.stat_iterations = 0
@@ -98,11 +110,61 @@ class SDPInterface:
                            jnp.asarray(ub), jnp.asarray(Gcut),
                            jnp.asarray(hcut), jnp.asarray(cvalid))
 
+    def _fused_impl(self, data, b, lb, ub, key, Gcut=None, hcut=None,
+                    cvalid=None):
+        """ipm_solve + fracround/randround candidates + feasibility check,
+        all in one jitted graph (one device dispatch)."""
+        import jax.numpy as jnp
+        from scipsdp_tpu.ops.eigen import min_eigenvalue
+
+        if Gcut is None:
+            out = ipm_solve(data, b, lb, ub, settings=self.settings.ipm)
+        else:
+            out = ipm_solve(data, b, lb, ub, Gcut, hcut, cvalid,
+                            settings=self.settings.ipm)
+        m = self.m
+        B = b.shape[0]
+        y = out.y[:, :m]
+        integral = jnp.asarray(self.dense.integral)
+        feastol = self.settings.bb.feastol
+
+        def finish(yc):
+            yc = jnp.clip(yc, lb[:, :m], ub[:, :m])
+            for bi, si in self._indicator_pairs:
+                on = yc[:, bi] >= 0.5
+                yc = yc.at[:, si].set(jnp.where(on, 0.0, yc[:, si]))
+            yx = jnp.concatenate([yc, jnp.zeros((B, 1), yc.dtype)], axis=1)
+            Z = jnp.einsum("kjab,xj->xkab", data.A, yx) - data.C[None]
+            lam = min_eigenvalue(
+                Z, jnp.broadcast_to(data.dimmask[None], Z.shape[:-1]))
+            viol = jnp.max(jnp.maximum(-lam, 0.0), axis=1)
+            Gy = jnp.einsum("pm,xm->xp", data.G, yx)
+            viol = jnp.maximum(
+                viol, jnp.max(jnp.maximum(data.h[None] - Gy, 0.0), axis=1))
+            if Gcut is not None:
+                Gcy = jnp.einsum("xqm,xm->xq", Gcut[:, :, :m], yc)
+                viol = jnp.maximum(viol, jnp.max(jnp.where(
+                    cvalid, jnp.maximum(hcut - Gcy, 0.0), 0.0), axis=1))
+            return yc, viol <= feastol, jnp.sum(yc * data.b_base[None, :m],
+                                                axis=1)
+
+        y0 = jnp.where(integral[None, :], jnp.round(y), y)
+        frac = y - jnp.floor(y)
+        rnd = jax.random.uniform(key, frac.shape, dtype=frac.dtype)
+        y1 = jnp.where(integral[None, :],
+                       jnp.floor(y) + (rnd < frac), y)
+        y0c, f0, v0 = finish(y0)
+        y1c, f1, v1 = finish(y1)
+        use1 = f1 & (~f0 | (v1 < v0))
+        yr = jnp.where(use1[:, None], y1c, y0c)
+        return out, yr, (f0 | f1), jnp.where(use1, v1, v0)
+
     # -- main entry --------------------------------------------------------
 
     def solve_batch(self, lb: np.ndarray, ub: np.ndarray,
                     obj: Optional[np.ndarray] = None,
-                    cuts=None) -> BatchSolveResult:
+                    cuts=None, rounding_seed: Optional[int] = None
+                    ) -> BatchSolveResult:
         """Solve B node relaxations; lb/ub: (B, m) bounds per node.
 
         ``cuts``: optional (Gcut (B,q,m), hcut (B,q), valid (B,q)) per-node
@@ -124,10 +186,28 @@ class SDPInterface:
                 [Gc, np.ones((B, Gc.shape[1], 1))], axis=2)
             cuts = (Gc, hc, cval)
 
-        # rung 1: direct solve, r fixed at 0
+        # rung 1: direct solve, r fixed at 0 (optionally fused with the
+        # rounding heuristics in a single device dispatch)
         lbx = self._extend(lb, 0.0)
         ubx = self._extend(ub, 0.0)
-        out = self._run(bmat, lbx, ubx, cuts)
+        round_y = round_feas = round_val = None
+        if rounding_seed is not None:
+            self.stat_nsolves += 1
+            key = jax.random.PRNGKey(rounding_seed)
+            if cuts is None:
+                out, ry, rf, rv = self._fused(
+                    self.data, jnp.asarray(bmat), jnp.asarray(lbx),
+                    jnp.asarray(ubx), key)
+            else:
+                out, ry, rf, rv = self._fused(
+                    self.data, jnp.asarray(bmat), jnp.asarray(lbx),
+                    jnp.asarray(ubx), key, jnp.asarray(cuts[0]),
+                    jnp.asarray(cuts[1]), jnp.asarray(cuts[2]))
+            round_y = np.asarray(ry)
+            round_feas = np.asarray(rf)
+            round_val = np.asarray(rv)
+        else:
+            out = self._run(bmat, lbx, ubx, cuts)
         self.stat_iterations += int(out.iters)
 
         status = np.asarray(out.status).copy()
@@ -170,6 +250,7 @@ class SDPInterface:
             )
             bound_only = np.full(B, -np.inf)
             have_bound = np.zeros(B, dtype=bool)
+            stagnant = 0
             for _ in range(ipms.npenaltyincr + 1):
                 bpen = bmat.copy()
                 bpen[:, m] = gamma
@@ -204,6 +285,13 @@ class SDPInterface:
                 have_bound = have_bound | usable
                 failed = status == int(SolverResultStatus.FAILED)
                 if not failed.any():
+                    break
+                # early termination: two consecutive rounds with no newly
+                # decided instance and no new bound — raising Gamma further
+                # will not help (each rung costs a full device dispatch)
+                progress = bool(feasorig.any() or usable.any())
+                stagnant = 0 if progress else stagnant + 1
+                if stagnant >= 2:
                     break
                 gamma *= growth
 
@@ -259,4 +347,7 @@ class SDPInterface:
             nsolves=nsolves,
             npenalty=npenalty,
             nunsolved=nunsolved,
+            round_y=round_y,
+            round_feas=round_feas,
+            round_val=round_val,
         )

@@ -78,12 +78,124 @@ def _parse_float(tok: str, what: str, lineno: int) -> float:
 
 
 def read_sdpa(path: str, name: Optional[str] = None) -> MISDP:
-    """Parse an extended SDPA ``.dat-s`` (optionally ``.gz``) file."""
-    with _open(path) as f:
-        raw_lines = f.readlines()
+    """Parse an extended SDPA ``.dat-s`` (optionally ``.gz``) file.
 
+    Plain files go through the native C++ tokenizer
+    (native/sdpa_parse.cpp) with vectorized validation; gz files and
+    anything the native path rejects fall back to the pure-Python parser
+    (identical validation semantics either way).
+    """
     if name is None:
         name = re.sub(r"\.(dat-s|dat)(\.gz)?$", "", path.split("/")[-1])
+
+    from scipsdp_tpu.native import parse_sdpa_native
+
+    tokens = parse_sdpa_native(path)
+    if tokens is not None:
+        try:
+            return _assemble_from_tokens(tokens, name)
+        except ReadError:
+            raise
+    return _read_sdpa_python(path, name)
+
+
+def _assemble_from_tokens(tokens, name: str) -> MISDP:
+    """Vectorized assembly + validation of natively tokenized SDPA data."""
+    bs, obj, var, blk, row, col, val, ii, rr = tokens
+    nvars = len(obj)
+    nblocks = len(bs)
+    if np.any(bs == 0):
+        raise ReadError("block of size 0")
+    lp_blocks = np.where(bs < 0)[0]
+    if len(lp_blocks) > 1:
+        raise ReadError("more than one LP block")
+    lp_block = int(lp_blocks[0]) if len(lp_blocks) else -1
+    nlprows = int(-bs[lp_block]) if lp_block >= 0 else 0
+    if np.any(np.abs(obj) >= INF):
+        raise ReadError("infinite objective coefficient")
+    if np.any(~np.isfinite(val)) or np.any(np.abs(val) >= INF):
+        raise ReadError("infinite/NaN entry value")
+    if np.any((blk < 1) | (blk > nblocks)):
+        raise ReadError("block index out of range")
+    if np.any(var > nvars):
+        raise ReadError("variable index exceeds nvars")
+
+    is_lp = (blk - 1) == lp_block
+    # LP block entries must be diagonal and in row range
+    if np.any(is_lp & (row != col)):
+        raise ReadError("LP-block entry not on the diagonal")
+    if np.any(is_lp & ((row < 1) | (row > nlprows))):
+        raise ReadError("LP row out of range")
+    sdp_mask = ~is_lp
+    if np.any(sdp_mask & (var < 0)):
+        raise ReadError("negative variable index in SDP block")
+    sizes_of = bs[blk - 1]
+    if np.any(sdp_mask & ((row < 1) | (col < 1) | (row > sizes_of)
+                          | (col > sizes_of))):
+        raise ReadError("entry outside block")
+
+    sdp_blocks = [b for b in range(nblocks) if b != lp_block]
+    blocks = []
+    for b in sdp_blocks:
+        mask = (blk - 1) == b
+        if not mask.any():
+            raise ReadError(f"SDP block {b + 1} has no nonzero entries")
+        mc = mask & (var == 0)
+        mv = mask & (var >= 1)
+        blocks.append(SDPBlock(
+            size=int(bs[b]),
+            var=(var[mv] - 1).astype(np.int32),
+            row=(row[mv] - 1).astype(np.int32),
+            col=(col[mv] - 1).astype(np.int32),
+            val=val[mv],
+            const_row=(row[mc] - 1).astype(np.int32),
+            const_col=(col[mc] - 1).astype(np.int32),
+            const_val=val[mc],
+        ))
+
+    lp_coef: List[List[Tuple[int, float]]] = [[] for _ in range(nlprows)]
+    lp_lhs = np.zeros(nlprows)
+    indicator_of_row: List[Optional[int]] = [None] * nlprows
+    idx = np.where(is_lp)[0]
+    for t in idx:
+        r = int(row[t]) - 1
+        v = int(var[t])
+        if v >= 1:
+            lp_coef[r].append((v - 1, float(val[t])))
+        elif v == 0:
+            lp_lhs[r] = float(val[t])
+        else:
+            indvar = -v - 1
+            if indvar >= nvars:
+                raise ReadError(f"indicator variable {-v} does not exist")
+            indicator_of_row[r] = indvar
+    for r in range(nlprows):
+        if not lp_coef[r]:
+            raise ReadError(f"LP row {r + 1} has no variable coefficients")
+
+    integral = np.zeros(nvars, dtype=bool)
+    for iv in ii:
+        if iv < 1 or iv > nvars:
+            raise ReadError(f"integer variable index {iv} invalid")
+        integral[iv - 1] = True
+    sdp_index = {b: k for k, b in enumerate(sdp_blocks)}
+    rank1flags = [False] * len(sdp_blocks)
+    for rv in rr:
+        if rv < 1 or rv > nblocks:
+            raise ReadError(f"rank-1 block index {rv} invalid")
+        if rv - 1 == lp_block:
+            raise ReadError("LP block cannot be rank 1")
+        rank1flags[sdp_index[rv - 1]] = True
+    for k, f in enumerate(rank1flags):
+        blocks[k].rank1 = f
+
+    return _finalize_sdpa(name, nvars, obj, integral, blocks, lp_coef,
+                          lp_lhs, indicator_of_row)
+
+
+def _read_sdpa_python(path: str, name: str) -> MISDP:
+    with _open(path) as f:
+        raw_lines = f.readlines()
 
     # split off the comment-section extensions (*INTEGER / *RANK1)
     int_section: List[Tuple[int, str]] = []
@@ -269,7 +381,31 @@ def read_sdpa(path: str, name: Optional[str] = None) -> MISDP:
             raise ReadError(f"line {lineno}: LP block cannot be rank 1")
         rank1[sdp_index[idx - 1]] = True
 
-    # ---- assemble MISDP ---------------------------------------------------
+    blocks = []
+    for k, bi in enumerate(sdp_blocks):
+        blocks.append(
+            SDPBlock(
+                size=blocksizes[bi],
+                var=np.array(bvar[k], dtype=np.int32),
+                row=np.array(brow[k], dtype=np.int32),
+                col=np.array(bcol[k], dtype=np.int32),
+                val=np.array(bval[k]),
+                const_row=np.array(crow[k], dtype=np.int32),
+                const_col=np.array(ccol[k], dtype=np.int32),
+                const_val=np.array(cval[k]),
+                rank1=rank1[k],
+            )
+        )
+
+    return _finalize_sdpa(name, nvars, obj, integral, blocks, lp_coef,
+                          lp_lhs, indicator_of_row)
+
+
+def _finalize_sdpa(name, nvars, obj, integral, blocks, lp_coef, lp_lhs,
+                   indicator_of_row) -> MISDP:
+    """Shared tail of both parse paths: indicator slack variables, bounds,
+    LP row assembly, MISDP construction."""
+    nlprows = len(lp_coef)
     lb = np.full(nvars, -INF)
     ub = np.full(nvars, INF)
 
@@ -297,22 +433,6 @@ def read_sdpa(path: str, name: Optional[str] = None) -> MISDP:
             integral[link.binvar] = True
     ntot = nvars + extra_vars
 
-    blocks = []
-    for k, bi in enumerate(sdp_blocks):
-        blocks.append(
-            SDPBlock(
-                size=blocksizes[bi],
-                var=np.array(bvar[k], dtype=np.int32),
-                row=np.array(brow[k], dtype=np.int32),
-                col=np.array(bcol[k], dtype=np.int32),
-                val=np.array(bval[k]),
-                const_row=np.array(crow[k], dtype=np.int32),
-                const_col=np.array(ccol[k], dtype=np.int32),
-                const_val=np.array(cval[k]),
-                rank1=rank1[k],
-            )
-        )
-
     rows = []
     for r in range(nlprows):
         inds = [ij for ij, _ in lp_coef[r]]
@@ -322,7 +442,7 @@ def read_sdpa(path: str, name: Optional[str] = None) -> MISDP:
 
     prob = MISDP(
         nvars=ntot,
-        obj=obj,
+        obj=np.asarray(obj, dtype=np.float64),
         lb=lb,
         ub=ub,
         integral=integral,

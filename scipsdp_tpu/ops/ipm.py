@@ -426,11 +426,18 @@ def ipm_solve(
         Ls = jnp.linalg.cholesky(st.S)
         Sinv = spd_inverse(st.S, Ls)
 
-        # Schur complement M (the reference hot loop: Schur assembly inside
-        # DSDP/SDPA per IPM iteration; here one big einsum on the MXU)
-        T = jnp.einsum("xkae,kjef->xkjaf", st.X, data.A)
-        U = jnp.einsum("xkjaf,xkfc->xkjac", T, Sinv)
-        M = jnp.einsum("kiac,xkjca->xij", data.A, U)
+        # Schur complement M_ij = sum_k tr(A_i X A_j S^{-1}) — the
+        # reference hot loop (Schur assembly inside DSDP/SDPA per IPM
+        # iteration).  Factorized form: with X = Lx Lx^T and
+        # S^{-1} = Ls^{-T} Ls^{-1}, setting W_j = Lx^T A_j Ls^{-T} gives
+        # M = sum_k <W_i, W_j>_F — exactly symmetric PSD and one big MXU
+        # matmul over the flattened (mp, n^2) W.
+        P = jnp.einsum("xkba,kjbc->xkjac", Lx, data.A)       # Lx^T A_j
+        Lsb = jnp.broadcast_to(Ls[:, :, None], P.shape)
+        Wt = jax.scipy.linalg.solve_triangular(
+            Lsb, jnp.swapaxes(P, -1, -2), lower=True
+        )                                                     # Ls^{-1} P^T
+        M = jnp.einsum("xkiab,xkjab->xij", Wt, Wt)
         wl = jnp.where(pre.rowmask, st.xl / st.sl, 0.0)
         M = M + jnp.einsum("xpi,xp,xpj->xij", Gall, wl, Gall)
         wlb = jnp.where(pre.lbmask, st.xlb / st.slb, 0.0)

@@ -85,15 +85,16 @@ class BBResult:
 
 
 class _Node:
-    __slots__ = ("lb", "ub", "bound", "depth", "cuts", "requeues")
+    __slots__ = ("lb", "ub", "bound", "depth", "cuts", "requeues", "ysol")
 
-    def __init__(self, lb, ub, bound, depth, cuts=(), requeues=0):
+    def __init__(self, lb, ub, bound, depth, cuts=(), requeues=0, ysol=None):
         self.lb = lb
         self.ub = ub
         self.bound = bound
         self.depth = depth
         self.cuts = list(cuts)   # node-local cuts: [(g (m,), rhs), ...]
         self.requeues = requeues  # LP-mode re-separation attempts
+        self.ysol = ysol          # parent relaxation solution (warmstart)
 
 
 def _apply_indicator_propagation(prob: MISDP, lb: np.ndarray, ub: np.ndarray):
@@ -120,6 +121,8 @@ class _Solver:
     """Shared state of one solve_misdp run."""
 
     def __init__(self, prob: MISDP, settings: Settings):
+        from scipsdp_tpu.core.presolve_sdp import presolve_problem
+        prob = presolve_problem(prob, settings)
         self.prob = prob
         self.settings = settings
         self.dense: DenseSDPData = densify(prob)
@@ -234,7 +237,18 @@ class _Solver:
         # (relaxation data == full data); LP mode checks on host below
         seed = (None if self.lp_mode
                 else self.settings.seed + 7919 * self.stats.nodes)
-        res = self.iface.solve_batch(lb, ub, cuts=cuts, rounding_seed=seed)
+        warm = None
+        if self.settings.bb.warmstart:
+            wy = np.zeros((lb.shape[0], self.m))
+            wmask = np.zeros(lb.shape[0], dtype=bool)
+            for i, node in enumerate(batch):
+                if node.ysol is not None:
+                    wy[i] = node.ysol
+                    wmask[i] = True
+            if wmask.any():
+                warm = (wy, wmask)
+        res = self.iface.solve_batch(lb, ub, cuts=cuts, rounding_seed=seed,
+                                     warm=warm)
         self.stats.relax_solves += 1
         self.stats.ipm_iterations += res.iters
         self.stats.solver_calls += res.nsolves
@@ -650,7 +664,9 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                     heapq.heappush(
                         frontier,
                         (bound, next(counter),
-                         _Node(clb, cub, bound, node.depth + 1, ccuts)),
+                         _Node(clb, cub, bound, node.depth + 1, ccuts,
+                               ysol=(y.copy() if y is not None
+                                     and bb.warmstart else None))),
                     )
 
         if log:

@@ -100,28 +100,25 @@ class SDPInterface:
         B = arr.shape[0]
         return np.concatenate([arr, np.full((B, 1), val)], axis=1)
 
-    def _run(self, b, lb, ub, cuts=None):
+    def _run(self, b, lb, ub, cuts=None, warm_y=None, warm_mask=None):
         self.stat_nsolves += 1
         if cuts is None:
-            return self._solve(self.data, jnp.asarray(b), jnp.asarray(lb),
-                               jnp.asarray(ub))
-        Gcut, hcut, cvalid = cuts
+            cargs = (None, None, None)
+        else:
+            cargs = (jnp.asarray(cuts[0]), jnp.asarray(cuts[1]),
+                     jnp.asarray(cuts[2]))
         return self._solve(self.data, jnp.asarray(b), jnp.asarray(lb),
-                           jnp.asarray(ub), jnp.asarray(Gcut),
-                           jnp.asarray(hcut), jnp.asarray(cvalid))
+                           jnp.asarray(ub), *cargs, warm_y, warm_mask)
 
     def _fused_impl(self, data, b, lb, ub, key, Gcut=None, hcut=None,
-                    cvalid=None):
+                    cvalid=None, warm_y=None, warm_mask=None):
         """ipm_solve + fracround/randround candidates + feasibility check,
         all in one jitted graph (one device dispatch)."""
         import jax.numpy as jnp
         from scipsdp_tpu.ops.eigen import min_eigenvalue
 
-        if Gcut is None:
-            out = ipm_solve(data, b, lb, ub, settings=self.settings.ipm)
-        else:
-            out = ipm_solve(data, b, lb, ub, Gcut, hcut, cvalid,
-                            settings=self.settings.ipm)
+        out = ipm_solve(data, b, lb, ub, Gcut, hcut, cvalid,
+                        warm_y, warm_mask, settings=self.settings.ipm)
         m = self.m
         B = b.shape[0]
         y = out.y[:, :m]
@@ -163,8 +160,8 @@ class SDPInterface:
 
     def solve_batch(self, lb: np.ndarray, ub: np.ndarray,
                     obj: Optional[np.ndarray] = None,
-                    cuts=None, rounding_seed: Optional[int] = None
-                    ) -> BatchSolveResult:
+                    cuts=None, rounding_seed: Optional[int] = None,
+                    warm=None) -> BatchSolveResult:
         """Solve B node relaxations; lb/ub: (B, m) bounds per node.
 
         ``cuts``: optional (Gcut (B,q,m), hcut (B,q), valid (B,q)) per-node
@@ -191,23 +188,24 @@ class SDPInterface:
         lbx = self._extend(lb, 0.0)
         ubx = self._extend(ub, 0.0)
         round_y = round_feas = round_val = None
+        wy = wm = None
+        if warm is not None:
+            wy = jnp.asarray(self._extend(np.asarray(warm[0]), 0.0))
+            wm = jnp.asarray(np.asarray(warm[1], dtype=bool))
         if rounding_seed is not None:
             self.stat_nsolves += 1
             key = jax.random.PRNGKey(rounding_seed)
-            if cuts is None:
-                out, ry, rf, rv = self._fused(
-                    self.data, jnp.asarray(bmat), jnp.asarray(lbx),
-                    jnp.asarray(ubx), key)
-            else:
-                out, ry, rf, rv = self._fused(
-                    self.data, jnp.asarray(bmat), jnp.asarray(lbx),
-                    jnp.asarray(ubx), key, jnp.asarray(cuts[0]),
-                    jnp.asarray(cuts[1]), jnp.asarray(cuts[2]))
+            cargs = ((None, None, None) if cuts is None else
+                     (jnp.asarray(cuts[0]), jnp.asarray(cuts[1]),
+                      jnp.asarray(cuts[2])))
+            out, ry, rf, rv = self._fused(
+                self.data, jnp.asarray(bmat), jnp.asarray(lbx),
+                jnp.asarray(ubx), key, *cargs, wy, wm)
             round_y = np.asarray(ry)
             round_feas = np.asarray(rf)
             round_val = np.asarray(rv)
         else:
-            out = self._run(bmat, lbx, ubx, cuts)
+            out = self._run(bmat, lbx, ubx, cuts, wy, wm)
         self.stat_iterations += int(out.iters)
 
         status = np.asarray(out.status).copy()

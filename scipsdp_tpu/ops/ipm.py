@@ -264,6 +264,8 @@ def ipm_solve(
     Gcut: jnp.ndarray = None,     # (B, q, mp) per-node cut rows  Gcut y >= hcut
     hcut: jnp.ndarray = None,     # (B, q)
     cutvalid: jnp.ndarray = None,  # (B, q) bool
+    warm_y: jnp.ndarray = None,   # (B, mp) parent dual solution (warmstart)
+    warm_mask: jnp.ndarray = None,  # (B,) bool: rows with valid warm_y
     *,
     settings: IPMSettings,
 ) -> SolveOutput:
@@ -312,6 +314,18 @@ def ipm_solve(
     y0 = jnp.where(pre.lbmask & ~pre.ubmask, jnp.maximum(pre.lb + 1.0, 0.0), y0)
     y0 = jnp.where(pre.ubmask & ~pre.lbmask, jnp.minimum(pre.ub - 1.0, 0.0), y0)
     y0 = jnp.where(pre.fix, pre.fixval, y0)
+    if warm_y is not None:
+        # warmstart (relax_sdp.c determineWarmStartInformation semantics,
+        # warmstartproject=2: project the parent solution into the child's
+        # bounds with a strict-interior margin)
+        span = jnp.where(two, pre.ub - pre.lb, 2.0)
+        margin = 0.05 * span
+        yw = jnp.clip(warm_y.astype(dtype),
+                      jnp.where(pre.lbmask, pre.lb + margin, -jnp.inf),
+                      jnp.where(pre.ubmask, pre.ub - margin, jnp.inf))
+        wm = (warm_mask if warm_mask is not None
+              else jnp.ones((B,), bool))[:, None]
+        y0 = jnp.where(pre.fix, pre.fixval, jnp.where(wm, yw, y0))
 
     Z0 = jnp.einsum("kjab,xj->xkab", data.A, y0) - data.C[None]
     normb = jnp.max(jnp.abs(b), axis=1)
@@ -328,6 +342,23 @@ def ipm_solve(
     xi = scale[:, None, None, None]
     X0 = xi * eyen[None, None] * jnp.ones((B, K, 1, 1), dtype)
     S0 = X0
+    if warm_y is not None:
+        # dual slack matrix from the projected parent point, floored on
+        # the PSD cone and convex-combined with the scaled identity
+        # (fillStartZ, relax_sdp.c:2649-2954; iptype=1 scaled identity,
+        # factor = warmstartipfactor)
+        f = settings.warmstartipfactor
+        lamW, VW = jnp.linalg.eigh(
+            jnp.where(pad_outer, Z0, eyen[None, None] * xi))
+        lfloor = 1e-3 * jnp.maximum(1.0, jnp.max(jnp.abs(lamW), axis=-1,
+                                                 keepdims=True))
+        lamWp = jnp.maximum(lamW, lfloor)
+        Zproj = jnp.einsum("xkae,xke,xkbe->xkab", VW, lamWp, VW)
+        S0w = (1.0 - f) * jnp.where(pad_outer, Zproj,
+                                    eyen[None, None] * xi) + f * X0
+        wmk = (warm_mask if warm_mask is not None
+               else jnp.ones((B,), bool))[:, None, None, None]
+        S0 = sym(jnp.where(wmk, S0w, S0))
     sl0 = jnp.where(pre.rowmask,
                     jnp.maximum(jnp.einsum("xpm,xm->xp", Gall, y0) - hall,
                                 scale[:, None]),

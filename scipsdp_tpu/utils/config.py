@@ -48,6 +48,8 @@ class IPMSettings:
                                     # (SDPA lambdastar, relax_sdp.c:74)
     presolve_rounds: int = 3       # vectorized prepareLPData passes
                                    # (sdpi.c:1131 loop)
+    warmstartipfactor: float = 0.5  # identity share in warmstart convex
+                                    # combination (DEFAULT_WARMSTARTIPFACTOR)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,13 +71,26 @@ class BBSettings:
                                    # (TPU analog of concurrent solvers,
                                    # sdpi.c:2144 SCIPsdpiClone portfolio)
     heuristic_fracround: bool = True  # heur_sdpfracround.c analog
+    warmstart: bool = False        # relaxing/SDP/warmstart (DEFAULT FALSE)
     objlimit_pruning: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PresolveSettings:
+    """Problem-level presolve switches (constraints/SDP/* params,
+    cons_sdp.c:123-127 — defaults mirror the reference)."""
+
+    diaggezerocuts: bool = False   # DEFAULT_DIAGGEZEROCUTS
+    twominorlinconss: bool = False  # DEFAULT_TWOMINORLINCONSS
+    move_1x1_blocks: bool = True    # move_1x1_blocks_to_lp
 
 
 @dataclasses.dataclass(frozen=True)
 class Settings:
     ipm: IPMSettings = dataclasses.field(default_factory=IPMSettings)
     bb: BBSettings = dataclasses.field(default_factory=BBSettings)
+    presolve: PresolveSettings = dataclasses.field(
+        default_factory=PresolveSettings)
     # misc/solvesdps master switch: 1 = nonlinear B&B with SDP relaxations
     # (default), 0 = LP outer approximation with eigenvector cuts
     # (relax_sdp.c:5428, param-change callback :5302-5373)

@@ -306,6 +306,16 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         return BBResult(SolveStatus.INFEASIBLE, None, None,
                         prob.external_objval(np.inf), 0.0, stats)
 
+    # optional root OBBT (prop_sdpobbt.c)
+    if bb.obbt_at_root and not sol.lp_mode:
+        from scipsdp_tpu.core.probing import obbt_root
+        targets = np.where(integral)[0]
+        if targets.size:
+            root_lb, root_ub, nt = obbt_root(
+                sol.full_iface, root_lb, root_ub, targets, None,
+                bb.batch_size, feastol)
+            stats.redcost_tightenings += nt
+
     counter = itertools.count()
     frontier: List[Tuple[float, int, _Node]] = []
     heapq.heappush(frontier, (-np.inf, next(counter),
@@ -350,6 +360,26 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
 
         res = sol.solve_relaxations(batch, B, lb, ub)
         stats.nodes += len(batch)
+
+        # batched fracdiving (heur_sdpfracdiving.c): every diving_freq
+        # batches, dive all nodes of the batch one probing line each
+        if (bb.diving_freq > 0 and not sol.lp_mode
+                and stats.relax_solves % bb.diving_freq == 0):
+            from scipsdp_tpu.core.probing import fracdive
+            ydive, dfeas = fracdive(sol.full_iface, lb, ub, res.y,
+                                    integral, feastol)
+            for i in range(len(batch)):
+                if dfeas[i]:
+                    if has_rank1 and r1.rank1_violation(
+                            sol.dense, ydive[i], feastol) is not None:
+                        continue
+                    if _violated_indicator(prob, ydive[i], feastol) >= 0:
+                        continue
+                    val = float(obj @ ydive[i])
+                    if val < incumbent_val - 1e-12:
+                        incumbent_val = val
+                        incumbent_y = ydive[i].copy()
+                        stats.heur_found += 1
 
         # batched rounding heuristics: nearest rounding
         # (heur_sdpfracround.c) and randomized rounding (heur_sdprand.c) —

@@ -1,0 +1,149 @@
+"""Probing-based heuristics and propagators.
+
+Batched analogs of the reference's probing plugins (everything that
+re-solves relaxations under temporary bound changes):
+
+* ``fracdiving``     — heur_sdpfracdiving.c: iteratively round-fix the
+                       most fractional variable and re-solve; here one
+                       *batched* dive advances every node of a batch one
+                       probing level per device dispatch;
+* ``obbt_root``      — prop_sdpobbt.c: optimization-based bound tightening
+                       by min/max-imizing single variables over the
+                       relaxation (with an objective-cutoff row);
+* ``slater_check``   — sdpi.c checkSlaterCondition:1518 (dual side): the
+                       relaxation has a strictly feasible point iff
+                       min r s.t. Z(y) + r I >= 0, G y + r >= h  (r free)
+                       has a negative optimum;
+* ``analytic_center``— SCIPrelaxSdpComputeAnalyticCenters
+                       (relax_sdp.c:5589): a central feasible point from a
+                       zero-objective solve (used by warmstartiptype=2 and
+                       prop_companalcent.c).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from scipsdp_tpu.core.sdpi import SDPInterface
+from scipsdp_tpu.models.problem import INF
+from scipsdp_tpu.utils.status import SolverResultStatus
+
+
+def fracdive(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray,
+             y: np.ndarray, integral: np.ndarray, feastol: float,
+             max_depth: int = 8):
+    """One batched dive: returns (best_y (B, m) or None rows, feas (B,)).
+
+    Per level: fix the most fractional integer variable of every instance
+    to its rounded value, re-solve the whole batch, stop when integral or
+    infeasible (heur_sdpfracdiving.c:354-390 depth control simplified).
+    """
+    B, m = y.shape
+    lb = lb.copy()
+    ub = ub.copy()
+    active = np.ones(B, dtype=bool)
+    out_y = np.full((B, m), np.nan)
+    out_feas = np.zeros(B, dtype=bool)
+    cur_y = y.copy()
+
+    for _ in range(max_depth):
+        frac = np.abs(cur_y[:, integral] - np.round(cur_y[:, integral]))
+        if frac.size == 0:
+            break
+        worst = np.max(frac, axis=1)
+        done_int = worst <= feastol
+        newly = active & done_int
+        out_y[newly] = cur_y[newly]
+        out_feas[newly] = True
+        active = active & ~done_int
+        if not active.any():
+            break
+        # fix the most fractional integer var per active instance
+        ints = np.where(integral)[0]
+        pick = ints[np.argmax(frac, axis=1)]
+        vals = np.round(cur_y[np.arange(B), pick])
+        for i in np.where(active)[0]:
+            j = pick[i]
+            v = min(max(vals[i], lb[i, j]), ub[i, j])
+            lb[i, j] = v
+            ub[i, j] = v
+        res = iface.solve_batch(lb, ub)
+        ok = np.isin(res.status, (int(SolverResultStatus.OPTIMAL),
+                                  int(SolverResultStatus.PRESOLVED_OPTIMAL)))
+        active = active & ok
+        cur_y = np.where(ok[:, None], res.y, cur_y)
+    return out_y, out_feas
+
+
+def obbt_root(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray,
+              targets: np.ndarray, cutoff: Optional[float],
+              batch_size: int, feastol: float
+              ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Min/max each target variable over the relaxation (plus an objective
+    cutoff row when an incumbent exists); returns tightened (lb, ub) and
+    the number of tightenings (prop_sdpobbt.c:197-444)."""
+    m = lb.shape[0]
+    lb = lb.copy()
+    ub = ub.copy()
+    jobs = [(j, s) for j in targets for s in (+1.0, -1.0)]
+    ntight = 0
+    cuts = None
+    if cutoff is not None and np.isfinite(cutoff):
+        obj0 = np.asarray(iface.data.b_base)[:m]
+        g = -obj0[None, None, :].repeat(batch_size, 0)
+        h = np.full((batch_size, 1), -cutoff)
+        v = np.ones((batch_size, 1), dtype=bool)
+        cuts = (g, h, v)
+    for start in range(0, len(jobs), batch_size):
+        chunk = jobs[start:start + batch_size]
+        objs = np.zeros((batch_size, m))
+        for i, (j, s) in enumerate(chunk):
+            objs[i, j] = s
+        res = iface.solve_batch(np.tile(lb, (batch_size, 1)),
+                                np.tile(ub, (batch_size, 1)),
+                                obj=objs, cuts=cuts)
+        for i, (j, s) in enumerate(chunk):
+            if res.status[i] != int(SolverResultStatus.OPTIMAL):
+                continue
+            if s > 0 and res.objval[i] > lb[j] + feastol:
+                lb[j] = res.objval[i]
+                ntight += 1
+            elif s < 0 and -res.objval[i] < ub[j] - feastol:
+                ub[j] = -res.objval[i]
+                ntight += 1
+    return lb, ub, ntight
+
+
+def slater_check(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray
+                 ) -> np.ndarray:
+    """Dual Slater condition per instance: 1 = holds, 0 = fails (boundary
+    or infeasible), -1 = undecided (sdpi.c:1518)."""
+    B = lb.shape[0]
+    m = iface.m
+    bprobe = np.zeros((B, m))
+    res = iface.solve_batch(lb, ub, obj=bprobe)
+    # feasibility probe with free r: reuse the ladder by solving
+    # min r with r in [-BIG, +inf): emulate by shifting bounds
+    lbx = iface._extend(lb, -1e6)
+    ubx = iface._extend(ub, INF)
+    bm = np.zeros((B, m + 1))
+    bm[:, m] = 1.0
+    out = iface._run(bm, lbx, ubx)
+    status = np.full(B, -1, dtype=np.int8)
+    conv = np.asarray(out.status) == int(SolverResultStatus.OPTIMAL)
+    r = np.asarray(out.r)
+    status[conv & (r < -iface.settings.ipm.feastol)] = 1
+    status[conv & (r >= -iface.settings.ipm.feastol)] = 0
+    return status
+
+
+def analytic_center(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray):
+    """Central point of the relaxation's feasible set from a zero-objective
+    solve (the IPM converges to the analytic center of the optimal face,
+    which for b = 0 is the whole feasible set)."""
+    B = lb.shape[0]
+    res = iface.solve_batch(lb, ub, obj=np.zeros((B, iface.m)))
+    ok = np.isin(res.status, (int(SolverResultStatus.OPTIMAL),))
+    return res.y, ok

@@ -71,6 +71,9 @@ class BBSettings:
                                    # (TPU analog of concurrent solvers,
                                    # sdpi.c:2144 SCIPsdpiClone portfolio)
     heuristic_fracround: bool = True  # heur_sdpfracround.c analog
+    diving_freq: int = 0           # heur_sdpfracdiving batched dives every
+                                   # N batches (0 = off)
+    obbt_at_root: bool = False     # prop_sdpobbt root tightening
     warmstart: bool = False        # relaxing/SDP/warmstart (DEFAULT FALSE)
     objlimit_pruning: bool = True
 

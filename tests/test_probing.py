@@ -1,0 +1,101 @@
+"""Tests for the one-variable solver (check1dsdp.c analog) and the
+probing-based heuristics/propagators/diagnostics."""
+
+import numpy as np
+import pytest
+
+from scipsdp_tpu.core.probing import (
+    analytic_center,
+    fracdive,
+    obbt_root,
+    slater_check,
+)
+from scipsdp_tpu.core.sdpi import SDPInterface
+from scipsdp_tpu.models.io import read_problem
+from scipsdp_tpu.models.problem import INF, densify
+from scipsdp_tpu.ops.onevar import solve_one_var_sdp
+
+from conftest import INSTANCES
+import os
+
+
+def test_onevar_interval():
+    """y*I - diag(1,4) >= 0  <=>  y >= 4; min y -> 4."""
+    A = np.eye(2)
+    C = np.diag([1.0, 4.0])
+    st, y = solve_one_var_sdp(A, C, c=1.0, lb=-INF, ub=INF)
+    assert st == "optimal" and abs(y - 4.0) < 1e-5
+
+
+def test_onevar_maximize_side():
+    """min -y s.t. y*diag(1,-1) - (-I) >= 0: y in [-1, 1] -> y* = 1."""
+    A = np.diag([1.0, -1.0])
+    C = -np.eye(2)
+    st, y = solve_one_var_sdp(A, C, c=-1.0, lb=-INF, ub=INF)
+    assert st == "optimal" and abs(y - 1.0) < 1e-5
+
+
+def test_onevar_infeasible():
+    """y * 0 - I >= 0 impossible."""
+    A = np.zeros((2, 2))
+    C = np.eye(2)
+    st, _ = solve_one_var_sdp(A, C, c=1.0, lb=-10, ub=10)
+    assert st == "infeasible"
+
+
+def test_onevar_bounds_active():
+    A = np.eye(2)
+    C = np.diag([1.0, 4.0])
+    st, y = solve_one_var_sdp(A, C, c=1.0, lb=6.0, ub=10.0)
+    assert st == "optimal" and abs(y - 6.0) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def small_iface():
+    prob = read_problem(os.path.join(INSTANCES, "example_small.dat-s"))
+    return prob, SDPInterface(densify(prob))
+
+
+def test_slater_check(small_iface):
+    prob, iface = small_iface
+    st = slater_check(iface, prob.lb[None, :], prob.ub[None, :])
+    assert st[0] == 1   # example_small has a strict interior
+
+
+def test_analytic_center(small_iface):
+    prob, iface = small_iface
+    y, ok = analytic_center(iface, prob.lb[None, :], prob.ub[None, :])
+    assert ok[0]
+    # the center must be strictly feasible
+    from scipsdp_tpu.core.feascheck import check_points
+    import jax.numpy as jnp
+    feas, viol = check_points(iface.data, jnp.asarray(y),
+                              jnp.asarray(prob.lb[None, :]),
+                              jnp.asarray(prob.ub[None, :]))
+    assert bool(np.asarray(feas)[0])
+
+
+def test_obbt_root(small_iface):
+    prob, iface = small_iface
+    lb, ub, n = obbt_root(iface, prob.lb.copy(), prob.ub.copy(),
+                          np.arange(3), cutoff=None, batch_size=8,
+                          feastol=1e-5)
+    assert n > 0
+    assert np.all(lb >= prob.lb - 1e-9) and np.all(ub <= prob.ub + 1e-9)
+    # OBBT bounds must not cut off the known optimum y = (0, 1, 7)... the
+    # MISDP optimum is -8 attained at an integer point inside the box
+    from scipsdp_tpu.core.branchbound import solve_misdp
+    import dataclasses
+    prob2 = dataclasses.replace(prob, lb=lb, ub=ub)
+    res = solve_misdp(prob2)
+    assert abs(res.objval - (-8.0)) < 1e-4
+
+
+def test_fracdive(small_iface):
+    prob, iface = small_iface
+    res = iface.solve_batch(prob.lb[None, :], prob.ub[None, :])
+    ydive, feas = fracdive(iface, prob.lb[None, :], prob.ub[None, :],
+                           res.y, prob.integral, 1e-5)
+    if feas[0]:
+        assert np.abs(ydive[0][prob.integral]
+                      - np.round(ydive[0][prob.integral])).max() <= 1e-5

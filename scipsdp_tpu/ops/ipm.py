@@ -61,6 +61,20 @@ from scipsdp_tpu.utils.status import SolverResultStatus
 INF_THRESH = 1e19  # values beyond this are treated as infinite
 
 
+def _schur_product(Wall: jnp.ndarray, settings: IPMSettings) -> jnp.ndarray:
+    """M = Wall @ Wall^T per batch element — THE hot matmul of the IPM.
+
+    Default: one XLA batched matmul (already MXU-shaped).  With
+    ``settings.use_pallas`` a hand-written Pallas TPU kernel
+    (ops/pallas_kernels.py) computes the same product with explicit tiling.
+    """
+    if settings.use_pallas:
+        from scipsdp_tpu.ops.pallas_kernels import schur_wwt
+        return schur_wwt(Wall)
+    return jnp.einsum("xif,xjf->xij", Wall, Wall)
+
+
+
 @dataclasses.dataclass(frozen=True)
 class IPMData:
     """Static (per-problem) device arrays for the batched solver.
@@ -239,6 +253,8 @@ class IPMState(NamedTuple):
     done: jnp.ndarray  # (B,)
     converged: jnp.ndarray  # (B,)
     failed: jnp.ndarray     # (B,)
+    best_merit: jnp.ndarray  # (B,) best progress merit seen
+    stall: jnp.ndarray       # (B,) iterations without progress
 
 
 class SolveOutput(NamedTuple):
@@ -374,6 +390,8 @@ def ipm_solve(
         y=y0, X=X0, S=S0, xl=xl0, sl=sl0, xlb=xlb0, slb=slb0, xub=xub0,
         sub=sub0, it=jnp.asarray(0, jnp.int32), done=done0,
         converged=jnp.zeros((B,), bool), failed=jnp.zeros((B,), bool),
+        best_merit=jnp.full((B,), jnp.inf, dtype),
+        stall=jnp.zeros((B,), jnp.int32),
     )
 
     datascale = 1.0 + jnp.maximum(
@@ -468,9 +486,15 @@ def ipm_solve(
         Wt = jax.scipy.linalg.solve_triangular(
             Lsb, jnp.swapaxes(P, -1, -2), lower=True
         )                                                     # Ls^{-1} P^T
-        M = jnp.einsum("xkiab,xkjab->xij", Wt, Wt)
+        # LP/cut rows contribute G^T diag(xl/sl) G = Wg^T Wg with
+        # Wg = sqrt(xl/sl) * G; stack them into the same feature axis so
+        # the whole Schur complement is ONE (mp, F) x (F, mp) MXU matmul
         wl = jnp.where(pre.rowmask, st.xl / st.sl, 0.0)
-        M = M + jnp.einsum("xpi,xp,xpj->xij", Gall, wl, Gall)
+        Wg = jnp.sqrt(wl)[:, :, None] * Gall                 # (B, P, mp)
+        Wall = jnp.concatenate(
+            [jnp.transpose(Wt, (0, 2, 1, 3, 4)).reshape(B, mp, -1),
+             jnp.swapaxes(Wg, 1, 2)], axis=2)                # (B, mp, F)
+        M = _schur_product(Wall, settings)
         wlb = jnp.where(pre.lbmask, st.xlb / st.slb, 0.0)
         wub = jnp.where(pre.ubmask, st.xub / st.sub, 0.0)
         M = M + (wlb + wub)[:, :, None] * jnp.eye(mp, dtype=dtype)[None]
@@ -605,12 +629,27 @@ def ipm_solve(
             done=st.done,
             converged=st.converged,
             failed=failed,
+            best_merit=st.best_merit,
+            stall=st.stall,
         )
-        conv, _, _, _ = converged_mask(new)
-        newly_conv = conv & ~new.done & ~new.failed
+        conv, gap_n, pinf_n, dinf_n = converged_mask(new)
+        # stall detection: instances making no progress burn the whole
+        # batch's wall clock (the while_loop runs until ALL are done) —
+        # declare them failed early and let the recovery ladder handle them
+        merit = gap_n / (1.0 + jnp.abs(jnp.sum(b * new.y, axis=1))) \
+            + pinf_n + dinf_n
+        improved = merit < 0.8 * new.best_merit
+        best_merit = jnp.where(improved, merit, new.best_merit)
+        stall_cnt = jnp.where(improved | new.done, 0, new.stall + 1)
+        stalled = stall_cnt >= 15
+        failed2 = new.failed | (stalled & ~new.done & ~conv)
+        newly_conv = conv & ~new.done & ~failed2
         return new._replace(
             converged=new.converged | newly_conv,
-            done=new.done | newly_conv | new.failed,
+            done=new.done | newly_conv | failed2,
+            failed=failed2,
+            best_merit=best_merit,
+            stall=stall_cnt,
         )
 
     st = jax.lax.while_loop(cond, body, st0)

@@ -50,6 +50,8 @@ class IPMSettings:
                                    # (sdpi.c:1131 loop)
     warmstartipfactor: float = 0.5  # identity share in warmstart convex
                                     # combination (DEFAULT_WARMSTARTIPFACTOR)
+    use_pallas: bool = False       # hand-written Pallas TPU kernel for the
+                                   # Schur product (else XLA matmul)
 
 
 @dataclasses.dataclass(frozen=True)

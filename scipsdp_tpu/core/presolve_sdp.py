@@ -96,6 +96,9 @@ def presolve_problem(prob: MISDP, settings) -> MISDP:
         extra += diag_ge_zero_rows(prob)
     if pres.twominorlinconss:
         extra += two_minor_lin_rows(prob)
+    if getattr(settings, "use_symmetry", False):
+        from scipsdp_tpu.core.symmetry import symmetry_breaking_rows
+        extra += symmetry_breaking_rows(prob)
     if extra:
         prob = dataclasses.replace(prob, lp=_append_rows(prob.lp, extra))
     return prob

@@ -100,6 +100,9 @@ class Settings:
     # (default), 0 = LP outer approximation with eigenvector cuts
     # (relax_sdp.c:5428, param-change callback :5302-5373)
     solve_sdps: int = 1
+    # symmetry handling (reference: compute_symmetry_bliss.cpp +
+    # prop_sdpsymmetry; opt-in here, see core/symmetry.py)
+    use_symmetry: bool = False
     verbosity: int = 0
     seed: int = 0
 

@@ -100,6 +100,17 @@ class SDPInterface:
         B = arr.shape[0]
         return np.concatenate([arr, np.full((B, 1), val)], axis=1)
 
+    @staticmethod
+    def _mask_decided(lbx, ubx, active):
+        """Ladder rungs only need the still-failed instances; decided ones
+        get a bound conflict so presolve retires them instantly (their
+        results are ignored anyway)."""
+        lbm = lbx.copy()
+        ubm = ubx.copy()
+        lbm[~active, :] = 1.0
+        ubm[~active, :] = 0.0
+        return lbm, ubm
+
     def _run(self, b, lb, ub, cuts=None, warm_y=None, warm_mask=None):
         self.stat_nsolves += 1
         if cuts is None:
@@ -227,7 +238,8 @@ class SDPInterface:
             ubp[:, m] = INF
             bprobe = np.zeros_like(bmat)
             bprobe[:, m] = 1.0
-            outp = self._run(bprobe, lbx, ubp, cuts)
+            lbq, ubq = self._mask_decided(lbx, ubp, failed)
+            outp = self._run(bprobe, lbq, ubq, cuts)
             nsolves += 1
             pstat = np.asarray(outp.status)
             rstar = np.asarray(outp.r)
@@ -254,7 +266,8 @@ class SDPInterface:
                 bpen[:, m] = gamma
                 ubp = ubx.copy()
                 ubp[:, m] = INF
-                outk = self._run(bpen, lbx, ubp, cuts)
+                lbq, ubq = self._mask_decided(lbx, ubp, failed)
+                outk = self._run(bpen, lbq, ubq, cuts)
                 nsolves += 1
                 kstat = np.asarray(outk.status)
                 kr = np.asarray(outk.r)
@@ -307,6 +320,7 @@ class SDPInterface:
             art_ub = ubb[:, :m] > BOX_BOUND
             lbb[:, :m] = np.maximum(lbb[:, :m], -BOX_BOUND)
             ubb[:, :m] = np.minimum(ubb[:, :m], BOX_BOUND)
+            lbb, ubb = self._mask_decided(lbb, ubb, failed)
             outb = self._run(bmat, lbb, ubb, cuts)
             nsolves += 1
             bstat = np.asarray(outb.status)

@@ -1,0 +1,115 @@
+"""Testset runner — the reference check harness analog.
+
+SCIP-SDP's tier-2 harness (`make test` -> check/check.sh + check.awk)
+runs check/testset/short.test and compares against short.solu known
+objectives, emitting a status/nodes/time table.  Same here:
+
+    python check.py [--testset short] [--lp-approx] [--time-limit S]
+
+Exit code 0 iff every instance matches its known optimum/status within
+the parity tolerance (1e-4 relative — the reference quotes optima to ~6
+digits; its own solver tolerances are 1e-5).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+REFERENCE = "/root/reference"
+
+
+def load_solu(path):
+    out = {}
+    with open(path) as f:
+        for line in f:
+            toks = line.split()
+            if not toks:
+                continue
+            if toks[0] == "=opt=":
+                out[toks[1]] = ("opt", float(toks[2]))
+            elif toks[0] == "=inf=":
+                out[toks[1]] = ("inf", None)
+    return out
+
+
+def find_instance(name):
+    base = os.path.join(REFERENCE, "instances")
+    for ext in (".dat-s", ".dat-s.gz", ".cbf", ".cbf.gz", ".cip", ".cip.gz"):
+        p = os.path.join(base, name + ext)
+        if os.path.exists(p):
+            return p
+    # names in short.test carry relative paths
+    for line in open(os.path.join(REFERENCE, "check", "testset",
+                                  "short.test")):
+        line = line.strip()
+        if os.path.basename(line).startswith(name):
+            p = os.path.join(REFERENCE, "check", line)
+            if os.path.exists(p):
+                return p
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--testset", default="short")
+    ap.add_argument("--lp-approx", action="store_true")
+    ap.add_argument("--time-limit", type=float, default=1800.0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from scipsdp_tpu.core.branchbound import solve_misdp
+    from scipsdp_tpu.models.io import read_problem
+    from scipsdp_tpu.utils.config import BBSettings, Settings
+    from scipsdp_tpu.utils.status import SolveStatus
+
+    solu = load_solu(os.path.join(REFERENCE, "check", "testset",
+                                  f"{args.testset}.solu"))
+    settings = Settings(
+        bb=BBSettings(time_limit=args.time_limit),
+        solve_sdps=0 if args.lp_approx else 1,
+    )
+
+    print(f"{'instance':<28} {'status':<10} {'objective':>16} "
+          f"{'expected':>16} {'nodes':>7} {'time':>8}  result")
+    nfail = 0
+    for name, (kind, expect) in solu.items():
+        path = find_instance(name)
+        if path is None:
+            print(f"{name:<28} MISSING")
+            nfail += 1
+            continue
+        t0 = time.time()
+        try:
+            res = solve_misdp(read_problem(path), settings)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:<28} ERROR      {str(e)[:40]}")
+            nfail += 1
+            continue
+        dt = time.time() - t0
+        if kind == "inf":
+            ok = res.status == SolveStatus.INFEASIBLE
+            print(f"{name:<28} {res.status.name:<10} {'-':>16} "
+                  f"{'infeasible':>16} {res.stats.nodes:>7} {dt:>7.1f}s  "
+                  f"{'ok' if ok else 'FAIL'}")
+        else:
+            tol = 1e-4 * max(1.0, abs(expect))
+            ok = (res.status == SolveStatus.OPTIMAL
+                  and res.objval is not None
+                  and abs(res.objval - expect) <= tol)
+            obj = f"{res.objval:.8g}" if res.objval is not None else "-"
+            print(f"{name:<28} {res.status.name:<10} {obj:>16} "
+                  f"{expect:>16.8g} {res.stats.nodes:>7} {dt:>7.1f}s  "
+                  f"{'ok' if ok else 'FAIL'}")
+        if not ok:
+            nfail += 1
+    print(f"\n{len(solu) - nfail}/{len(solu)} instances at parity")
+    return 1 if nfail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

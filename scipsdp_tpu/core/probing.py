@@ -139,6 +139,87 @@ def slater_check(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray
     return status
 
 
+def inner_lp_point(prob, settings, y_ref: Optional[np.ndarray] = None):
+    """Inner-approximation LP heuristic (heur_sdpinnerlp.c, Ahmadi-Dash-
+    Hall): restrict each SDP block to *diagonally dominant* matrices —
+    Z_ii >= sum_{j != i} |Z_ij| with auxiliary variables t_ij >= +-Z_ij —
+    a linear RESTRICTION whose feasible points are SDP-feasible.  Integer
+    variables are fixed to the rounding of ``y_ref`` (or their bounds'
+    midpoint rounding) before solving, so a feasible LP point is a feasible
+    MISDP point.  Returns (y (m,), feasible: bool)."""
+    import dataclasses
+
+    from scipsdp_tpu.models.problem import (
+        LinearConstraints, MISDP, densify)
+
+    m = prob.nvars
+    lb = prob.lb.copy()
+    ub = prob.ub.copy()
+    ints = np.where(prob.integral)[0]
+    if y_ref is None:
+        y_ref = np.clip(0.0, lb, ub)
+    for j in ints:
+        v = np.round(np.clip(y_ref[j], lb[j], ub[j]))
+        lb[j] = ub[j] = v
+
+    # auxiliary |Z_ij| variables and dd rows
+    extra_rows = []
+    naux = 0
+    aux_obj = []
+    for blk in prob.blocks:
+        A = blk.dense_coeff(m)
+        C = blk.dense_const()
+        nk = blk.size
+        tidx = {}
+        for i in range(nk):
+            for jj in range(i):
+                tidx[(i, jj)] = m + naux
+                naux += 1
+                aux_obj.append(0.0)
+                gi = list(np.nonzero(A[:, i, jj])[0])
+                gv = list(A[gi, i, jj]) if gi else []
+                # t >= Z_ij:  t - sum A_ij y >= -C_ij  (Z = sum A y - C)
+                extra_rows.append((gi + [tidx[(i, jj)]],
+                                   [-v for v in gv] + [1.0],
+                                   -float(C[i, jj]), INF))
+                # t >= -Z_ij: t + sum A_ij y >= C_ij
+                extra_rows.append((gi + [tidx[(i, jj)]],
+                                   list(gv) + [1.0],
+                                   float(C[i, jj]), INF))
+        for i in range(nk):
+            gi = list(np.nonzero(A[:, i, i])[0])
+            gv = list(A[gi, i, i]) if gi else []
+            ts = [tidx[(max(i, jj), min(i, jj))] for jj in range(nk)
+                  if jj != i]
+            # Z_ii - sum_j t_ij >= 0:  sum A_ii y - sum t >= C_ii
+            extra_rows.append((gi + ts, list(gv) + [-1.0] * len(ts),
+                               float(C[i, i]), INF))
+
+    old_rows = [
+        (list(prob.lp.ind[prob.lp.beg[i]:prob.lp.beg[i + 1]]),
+         list(prob.lp.val[prob.lp.beg[i]:prob.lp.beg[i + 1]]),
+         prob.lp.lhs[i], prob.lp.rhs[i])
+        for i in range(prob.lp.nrows)
+    ]
+    lp = LinearConstraints.from_rows(old_rows + extra_rows)
+    aux = MISDP(
+        nvars=m + naux,
+        obj=np.concatenate([prob.obj, np.zeros(naux)]),
+        lb=np.concatenate([lb, np.zeros(naux)]),
+        ub=np.concatenate([ub, np.full(naux, INF)]),
+        integral=np.zeros(m + naux, dtype=bool),
+        blocks=[],
+        lp=lp,
+        name=prob.name + "_innerlp",
+    )
+    iface = SDPInterface(densify(aux), settings)
+    res = iface.solve_batch(aux.lb[None, :], aux.ub[None, :])
+    if res.status[0] not in (int(SolverResultStatus.OPTIMAL),
+                             int(SolverResultStatus.PRESOLVED_OPTIMAL)):
+        return None, False
+    return res.y[0][:m], True
+
+
 def analytic_center(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray):
     """Central point of the relaxation's feasible set from a zero-objective
     solve (the IPM converges to the analytic center of the optimal face,

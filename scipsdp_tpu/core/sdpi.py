@@ -40,6 +40,24 @@ from scipsdp_tpu.utils.config import Settings
 from scipsdp_tpu.utils.status import SolverResultStatus
 
 BOX_BOUND = 1e7       # artificial box for unboundedness detection
+
+
+def _merge_outputs(out32, out64, take: np.ndarray):
+    """Overwrite rows of a SolveOutput with the escalated f64 results."""
+    import jax.numpy as _jnp
+
+    def mix(a, b):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        if a.ndim == 0:
+            return np.maximum(a, b)
+        t = take.reshape((-1,) + (1,) * (a.ndim - 1))
+        return np.where(t, b.astype(np.float64) if a.dtype != b.dtype else b,
+                        a)
+
+    from scipsdp_tpu.ops.ipm import SolveOutput
+    return SolveOutput(*(mix(a, b) for a, b in zip(out32, out64)))
+
 BOX_ACTIVE_TOL = 0.99  # |y| >= BOX_ACTIVE_TOL * BOX_BOUND counts as active
 
 
@@ -80,6 +98,19 @@ class SDPInterface:
         self._solve = jax.jit(
             functools.partial(ipm_solve, settings=self.settings.ipm)
         )
+        # mixed precision: fast f32 tier with f64 escalation (the
+        # reference's fast->stable solver-settings tiers)
+        mp = self.settings.ipm.mixed_precision
+        self._mp = (mp == "on") or (mp == "auto"
+                                    and jax.default_backend() == "tpu")
+        if self._mp:
+            import dataclasses as _dc
+
+            self.data32 = build_ipm_data(dense, jnp.float32)
+            ipm32 = _dc.replace(self.settings.ipm, dtype="float32",
+                                chol_reg=1e-9)
+            self._solve32 = jax.jit(functools.partial(ipm_solve,
+                                                      settings=ipm32))
         # fused solve + rounding-heuristic dispatch (saves device round
         # trips: the environment is dispatch-latency-bound)
         self._indicator_pairs = (
@@ -111,13 +142,18 @@ class SDPInterface:
         ubm[~active, :] = 0.0
         return lbm, ubm
 
-    def _run(self, b, lb, ub, cuts=None, warm_y=None, warm_mask=None):
+    def _run(self, b, lb, ub, cuts=None, warm_y=None, warm_mask=None,
+             f32=False):
         self.stat_nsolves += 1
         if cuts is None:
             cargs = (None, None, None)
         else:
             cargs = (jnp.asarray(cuts[0]), jnp.asarray(cuts[1]),
                      jnp.asarray(cuts[2]))
+        if f32:
+            return self._solve32(self.data32, jnp.asarray(b),
+                                 jnp.asarray(lb), jnp.asarray(ub), *cargs,
+                                 warm_y, warm_mask)
         return self._solve(self.data, jnp.asarray(b), jnp.asarray(lb),
                            jnp.asarray(ub), *cargs, warm_y, warm_mask)
 
@@ -128,8 +164,13 @@ class SDPInterface:
         import jax.numpy as jnp
         from scipsdp_tpu.ops.eigen import min_eigenvalue
 
+        import dataclasses as _dc
+
+        s = self.settings.ipm
+        if data.A.dtype == jnp.float32:
+            s = _dc.replace(s, dtype="float32", chol_reg=1e-9)
         out = ipm_solve(data, b, lb, ub, Gcut, hcut, cvalid,
-                        warm_y, warm_mask, settings=self.settings.ipm)
+                        warm_y, warm_mask, settings=s)
         m = self.m
         B = b.shape[0]
         y = out.y[:, :m]
@@ -209,8 +250,9 @@ class SDPInterface:
             cargs = ((None, None, None) if cuts is None else
                      (jnp.asarray(cuts[0]), jnp.asarray(cuts[1]),
                       jnp.asarray(cuts[2])))
+            dat = self.data32 if self._mp else self.data
             out, ry, rf, rv = self._fused(
-                self.data, jnp.asarray(bmat), jnp.asarray(lbx),
+                dat, jnp.asarray(bmat), jnp.asarray(lbx),
                 jnp.asarray(ubx), key, *cargs, wy, wm)
             round_y = np.asarray(ry)
             round_feas = np.asarray(rf)
@@ -218,6 +260,18 @@ class SDPInterface:
         else:
             out = self._run(bmat, lbx, ubx, cuts, wy, wm)
         self.stat_iterations += int(out.iters)
+
+        # f32 tier escalation: instances the fast tier failed are re-solved
+        # in f64 before the penalty ladder sees them
+        if self._mp:
+            st32 = np.asarray(out.status)
+            failed32 = st32 == int(SolverResultStatus.FAILED)
+            if failed32.any():
+                lbq, ubq = self._mask_decided(lbx, ubx, failed32)
+                out64 = self._run(bmat, lbq, ubq, cuts)
+                s64 = np.asarray(out64.status)
+                take = failed32 & (s64 != int(SolverResultStatus.FAILED))
+                out = _merge_outputs(out, out64, take)
 
         status = np.asarray(out.status).copy()
         objval = np.asarray(out.dobj).copy()

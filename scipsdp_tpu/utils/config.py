@@ -40,6 +40,11 @@ class IPMSettings:
     min_gaptol: float = 1e-10      # MIN_GAPTOL when shrinking for penalty
     # numerics
     dtype: str = "float64"         # "float64" | "float32"
+    mixed_precision: str = "auto"  # "auto" | "on" | "off": try a fast f32
+                                   # solve first and escalate failures to
+                                   # f64 (the reference's fast->stable
+                                   # settings tiers, sdpisolver_sdpa.cpp:
+                                   # 1416-1441); auto = on for TPU backends
     tau: float = 0.95              # fraction-to-boundary step factor
     tau_final: float = 0.98        # step factor once mu is small
     sigma_min: float = 1e-8        # minimum centering parameter

@@ -99,3 +99,32 @@ def test_fracdive(small_iface):
     if feas[0]:
         assert np.abs(ydive[0][prob.integral]
                       - np.round(ydive[0][prob.integral])).max() <= 1e-5
+
+
+def test_inner_lp_point():
+    """dd-certifiable problem: Z = y1*I + y2*E12, y1 in [0,4], y2 in [0,1];
+    the optimum (4, 1) is diagonally dominant, so the inner LP finds it."""
+    from scipsdp_tpu.core.probing import inner_lp_point
+    from scipsdp_tpu.models.problem import LinearConstraints, MISDP, SDPBlock
+    from scipsdp_tpu.utils.config import Settings
+
+    blk = SDPBlock(size=2, var=[0, 0, 1], row=[0, 1, 1], col=[0, 1, 0],
+                   val=[1.0, 1.0, 1.0], const_row=[], const_col=[],
+                   const_val=[])
+    prob = MISDP(nvars=2, obj=np.array([-1.0, -1.0]),
+                 lb=np.zeros(2), ub=np.array([4.0, 1.0]),
+                 integral=np.zeros(2, bool), blocks=[blk],
+                 lp=LinearConstraints.empty(), name="ddtest")
+    y, ok = inner_lp_point(prob, Settings())
+    assert ok
+    np.testing.assert_allclose(y, [4.0, 1.0], atol=1e-3)
+    # and the point is genuinely SDP-feasible
+    from scipsdp_tpu.core.feascheck import check_points
+    from scipsdp_tpu.core.sdpi import SDPInterface
+    from scipsdp_tpu.models.problem import densify
+    import jax.numpy as jnp
+    iface = SDPInterface(densify(prob))
+    f, _ = check_points(iface.data, y[None, :],
+                        jnp.asarray(prob.lb[None, :]),
+                        jnp.asarray(prob.ub[None, :]))
+    assert bool(np.asarray(f)[0])

@@ -34,12 +34,11 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import functools
 
+    from scipsdp_tpu.core.sdpi import SDPInterface
     from scipsdp_tpu.models.io import read_problem
     from scipsdp_tpu.models.problem import densify
-    from scipsdp_tpu.ops.ipm import build_ipm_data, ipm_solve
-    from scipsdp_tpu.utils.config import IPMSettings
+    from scipsdp_tpu.utils.config import Settings
 
     if args.smoke:
         path = "/root/reference/instances/example_small.dat-s"
@@ -49,30 +48,18 @@ def main():
         B = args.batch or 32
 
     prob = read_problem(path)
-    data = build_ipm_data(densify(prob))
-    settings = IPMSettings()
-    solve = jax.jit(functools.partial(ipm_solve, settings=settings))
-
-    rng = np.random.default_rng(0)
-    m = data.nvars
+    iface = SDPInterface(densify(prob), Settings())
+    m = iface.m
 
     # root relaxation solution guides realistic branching-style bounds
-    def root_solution():
-        lb0 = np.concatenate([prob.lb, [0.0]])[None, :]
-        ub0 = np.concatenate([prob.ub, [0.0]])[None, :]
-        b0 = np.concatenate([prob.obj, [0.0]])[None, :]
-        out = solve(data, jnp.asarray(b0), jnp.asarray(lb0), jnp.asarray(ub0))
-        return np.asarray(out.y)[0, :m]
-
-    yroot = None
+    yroot = iface.solve_batch(prob.lb[None, :], prob.ub[None, :]).y[0]
 
     def make_batch(seed):
         # simulate a B&B node batch: root bounds plus one-sided branching
         # bounds (floor/ceil around the root relaxation values) — the
         # realistic shape of open-node batches
-        nonlocal_yroot = yroot
-        lb = np.tile(np.concatenate([prob.lb, [0.0]]), (B, 1))
-        ub = np.tile(np.concatenate([prob.ub, [0.0]]), (B, 1))
+        lb = np.tile(prob.lb, (B, 1))
+        ub = np.tile(prob.ub, (B, 1))
         r = np.random.default_rng(seed)
         ints = np.where(prob.integral)[0]
         for i in range(1, B):
@@ -80,29 +67,25 @@ def main():
                 break
             picks = r.choice(ints, size=min(2, len(ints)), replace=False)
             for j in picks:
-                v = nonlocal_yroot[j]
+                v = yroot[j]
                 if r.integers(0, 2):
                     ub[i, j] = min(ub[i, j], np.floor(v))
                 else:
                     lb[i, j] = max(lb[i, j], np.floor(v) + 1.0)
-        b = np.tile(np.concatenate([prob.obj, [0.0]]), (B, 1))
-        return jnp.asarray(b), jnp.asarray(lb), jnp.asarray(ub)
+        return lb, ub
 
-    yroot = root_solution()
-
-    # compile
-    b, lb, ub = make_batch(0)
-    out = solve(data, b, lb, ub)
-    jax.block_until_ready(out.dobj)
-    nconv = int((np.asarray(out.status) == 1).sum())
+    # compile (full production path: fused solve + rounding heuristics +
+    # recovery ladder, mixed precision on TPU)
+    lb, ub = make_batch(0)
+    res = iface.solve_batch(lb, ub, rounding_seed=0)
+    nconv = int(np.isin(res.status, (1, 7)).sum())
 
     # steady state
     times = []
     for rep in range(args.reps):
-        b, lb, ub = make_batch(rep + 1)
+        lb, ub = make_batch(rep + 1)
         t = time.time()
-        out = solve(data, b, lb, ub)
-        jax.block_until_ready(out.dobj)
+        res = iface.solve_batch(lb, ub, rounding_seed=rep + 1)
         times.append(time.time() - t)
     dt = min(times)
     value = B / dt
@@ -111,7 +94,7 @@ def main():
         "metric": "node_relaxations_per_s",
         "value": round(value, 2),
         "unit": f"relaxations/s (batch={B}, {prob.name}, "
-                f"{jax.default_backend()}, converged {nconv}/{B})",
+                f"{jax.default_backend()}, decided {nconv}/{B})",
         "vs_baseline": round(value / 100.0, 3),
     }))
 

@@ -299,8 +299,22 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
     # root propagation: activity-based bound tightening derives finite
     # boxes for free variables constrained only through rows (needed by
     # rank-1 secant cuts and spatial branching; SCIP-core propagation role)
-    from scipsdp_tpu.core.propagate import tighten_bounds
+    from scipsdp_tpu.core.propagate import (
+        matrix_view, propagate_3minors, propagate_upper_bounds,
+        tighten_bounds, tighten_bounds_onevar)
     root_lb, root_ub, root_conflict = tighten_bounds(prob, root_lb, root_ub)
+    if not root_conflict:
+        # SDP-structural propagation (cons_sdp defaults: propupperbounds,
+        # prop3minors, tightenbounds all TRUE)
+        mv = matrix_view(prob)
+        stats.redcost_tightenings += propagate_upper_bounds(
+            prob, root_lb, root_ub, mv)
+        stats.redcost_tightenings += propagate_3minors(
+            prob, root_lb, root_ub, mv)
+        stats.redcost_tightenings += tighten_bounds_onevar(
+            prob, root_lb, root_ub)
+        root_lb, root_ub, root_conflict = tighten_bounds(
+            prob, root_lb, root_ub)
     if root_conflict:
         stats.wall_time = time.time() - t0
         return BBResult(SolveStatus.INFEASIBLE, None, None,

@@ -115,3 +115,185 @@ def tighten_bounds(prob: MISDP, lb: np.ndarray, ub: np.ndarray,
         if not changed:
             break
     return lb, ub, False
+
+
+def matrix_view(prob: MISDP):
+    """The reference's "matrix view" (constructMatrixvar, cons_sdp.c:570):
+    per block, entries covered by exactly ONE variable, as
+    {(k, i, j): (var, coef, const)} with entry value = coef*y_var - const."""
+    view = {}
+    for k, blk in enumerate(prob.blocks):
+        A = blk.dense_coeff(prob.nvars)
+        C = blk.dense_const()
+        nz = np.abs(A) > 1e-12
+        count = nz.sum(axis=0)
+        for i in range(blk.size):
+            for j in range(i + 1):
+                if count[i, j] == 1:
+                    v = int(np.argmax(nz[:, i, j]))
+                    view[(k, i, j)] = (v, float(A[v, i, j]), float(C[i, j]))
+                elif count[i, j] == 0:
+                    view[(k, i, j)] = (-1, 0.0, float(C[i, j]))
+    return view
+
+
+def _entry_interval(view, lb, ub, key):
+    """Value interval of a matrix-view entry under current bounds."""
+    v, c, d = view[key]
+    if v < 0:
+        return -d, -d
+    lo = c * (lb[v] if c > 0 else ub[v]) - d
+    hi = c * (ub[v] if c > 0 else lb[v]) - d
+    if abs(lo) > INF / 2:
+        lo = -np.inf
+    if abs(hi) > INF / 2:
+        hi = np.inf
+    return lo, hi
+
+
+def propagate_upper_bounds(prob: MISDP, lb: np.ndarray, ub: np.ndarray,
+                           view=None, feastol: float = 1e-9) -> int:
+    """propagateUpperBounds (cons_sdp.c:4868): PSD implies
+    |X_st| <= sqrt(X_ss X_tt); with uniquely-covered entries this tightens
+    the covering variables' bounds.  Also X_ss >= 0 for diagonal entries.
+    Returns the number of tightenings (modifies lb/ub in place)."""
+    if view is None:
+        view = matrix_view(prob)
+    n = 0
+    for k, blk in enumerate(prob.blocks):
+        # diagonal entries are nonnegative
+        diag_hi = {}
+        for i in range(blk.size):
+            key = (k, i, i)
+            if key not in view:
+                diag_hi[i] = np.inf
+                continue
+            v, c, d = view[key]
+            if v >= 0:
+                # c*y - d >= 0
+                if c > 0:
+                    cand = d / c
+                    if cand > lb[v] + feastol and cand < INF / 2:
+                        lb[v] = cand
+                        n += 1
+                elif c < 0:
+                    cand = d / c
+                    if cand < ub[v] - feastol and cand > -INF / 2:
+                        ub[v] = cand
+                        n += 1
+            _, hi = _entry_interval(view, lb, ub, key)
+            diag_hi[i] = max(hi, 0.0)
+        # off-diagonal: |X_st| <= sqrt(diag_s * diag_t)
+        for s in range(blk.size):
+            for t in range(s):
+                key = (k, s, t)
+                if key not in view:
+                    continue
+                v, c, d = view[key]
+                if v < 0 or not np.isfinite(diag_hi[s]) \
+                        or not np.isfinite(diag_hi[t]):
+                    continue
+                bound = np.sqrt(max(diag_hi[s], 0.0) * max(diag_hi[t], 0.0))
+                # -bound <= c*y - d <= bound
+                hi_y = (bound + d) / c if c > 0 else (-bound + d) / c
+                lo_y = (-bound + d) / c if c > 0 else (bound + d) / c
+                if hi_y < ub[v] - feastol:
+                    ub[v] = hi_y
+                    n += 1
+                if lo_y > lb[v] + feastol:
+                    lb[v] = lo_y
+                    n += 1
+    return n
+
+
+def propagate_3minors(prob: MISDP, lb: np.ndarray, ub: np.ndarray,
+                      view=None, feastol: float = 1e-6) -> int:
+    """propagate3Minors (cons_sdp.c:5277): if X_ss = X_tt = 1 (constant)
+    and X_st is fixed to 1, PSD-ness forces rows s and t to be equal, so
+    entries (s,u) and (t,u) carry the same value — their variable bounds
+    intersect.  Returns number of tightenings."""
+    if view is None:
+        view = matrix_view(prob)
+    n = 0
+    for k, blk in enumerate(prob.blocks):
+        ones = set()
+        for i in range(blk.size):
+            key = (k, i, i)
+            if key in view and view[key][0] < 0 \
+                    and abs(-view[key][2] - 1.0) <= feastol:
+                ones.add(i)
+        for s in range(blk.size):
+            for t in range(s):
+                if s not in ones or t not in ones:
+                    continue
+                key = (k, s, t)
+                if key not in view:
+                    continue
+                lo, hi = _entry_interval(view, lb, ub, key)
+                if not (abs(lo - 1.0) <= feastol and abs(hi - 1.0) <= feastol):
+                    continue
+                # rows s and t coincide: intersect value intervals of
+                # (s,u) and (t,u) and push back to variable bounds
+                for u in range(blk.size):
+                    if u in (s, t):
+                        continue
+                    k1 = (k, max(s, u), min(s, u))
+                    k2 = (k, max(t, u), min(t, u))
+                    if k1 not in view or k2 not in view:
+                        continue
+                    v1, c1, d1 = view[k1]
+                    v2, c2, d2 = view[k2]
+                    lo1, hi1 = _entry_interval(view, lb, ub, k1)
+                    lo2, hi2 = _entry_interval(view, lb, ub, k2)
+                    lo_c, hi_c = max(lo1, lo2), min(hi1, hi2)
+                    for (vv, cc, dd) in ((v1, c1, d1), (v2, c2, d2)):
+                        if vv < 0 or cc == 0:
+                            continue
+                        a = (lo_c + dd) / cc
+                        bby = (hi_c + dd) / cc
+                        nlo, nhi = (a, bby) if cc > 0 else (bby, a)
+                        if nlo > lb[vv] + feastol and nlo > -INF / 2:
+                            lb[vv] = nlo
+                            n += 1
+                        if nhi < ub[vv] - feastol and nhi < INF / 2:
+                            ub[vv] = nhi
+                            n += 1
+    return n
+
+
+def tighten_bounds_onevar(prob: MISDP, lb: np.ndarray, ub: np.ndarray,
+                          feastol: float = 1e-6) -> int:
+    """tightenBounds (cons_sdp.c:1969, default on): when every coefficient
+    matrix of a block is PSD, bounding the other variables from above gives
+    the necessary condition  y_j A_j >= A_0 - sum_{i!=j} ub_i A_i, a
+    one-variable SDP whose feasible interval tightens y_j's bounds."""
+    from scipsdp_tpu.ops.onevar import solve_one_var_sdp
+
+    n = 0
+    for blk in prob.blocks:
+        A = blk.dense_coeff(prob.nvars)
+        C = blk.dense_const()
+        vars_in = np.where(np.abs(A).reshape(prob.nvars, -1).sum(1) > 1e-12)[0]
+        if len(vars_in) < 1 or len(vars_in) > 32:
+            continue
+        psd = all(np.linalg.eigvalsh(A[v])[0] >= -1e-9 for v in vars_in)
+        if not psd:
+            continue
+        if np.any(ub[vars_in] > INF / 2):
+            continue
+        total_ub = np.einsum("j,jab->ab", ub[vars_in], A[vars_in])
+        for j in vars_in:
+            Cp = C - (total_ub - ub[j] * A[j])
+            stl, ylo = solve_one_var_sdp(A[j], Cp, 1.0, lb[j], ub[j],
+                                         feastol=feastol)
+            if stl == "infeasible":
+                continue
+            sth, yhi = solve_one_var_sdp(A[j], Cp, -1.0, lb[j], ub[j],
+                                         feastol=feastol)
+            if stl == "optimal" and ylo > lb[j] + 10 * feastol:
+                lb[j] = ylo
+                n += 1
+            if sth == "optimal" and yhi < ub[j] - 10 * feastol:
+                ub[j] = yhi
+                n += 1
+    return n

@@ -258,7 +258,7 @@ class SDPInterface:
             round_feas = np.asarray(rf)
             round_val = np.asarray(rv)
         else:
-            out = self._run(bmat, lbx, ubx, cuts, wy, wm)
+            out = self._run(bmat, lbx, ubx, cuts, wy, wm, f32=self._mp)
         self.stat_iterations += int(out.iters)
 
         # f32 tier escalation: instances the fast tier failed are re-solved

@@ -54,6 +54,40 @@ def max_step_psd(L: jnp.ndarray, dM: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(safe, jnp.inf, -1.0 / jnp.where(safe, -1.0, lam_min))
 
 
+def max_step_psd_power(L: jnp.ndarray, dM: jnp.ndarray,
+                       iters: int = 16) -> jnp.ndarray:
+    """Like :func:`max_step_psd` but via shifted power iteration instead of
+    a full eigendecomposition.
+
+    TPU rationale: XLA's eigh (QDWH) costs ~30 matmul rounds per call; the
+    step rule only needs lambda_max of  -Y = -L^{-1} dM L^{-T}, which a
+    dozen batched matvecs estimate well.  The estimate can slightly
+    overestimate the allowed step, so callers pair this with a Cholesky
+    probe that shrinks steps leaving the PSD cone (ops/ipm.py).
+    """
+    W = jax.scipy.linalg.solve_triangular(L, dM, lower=True)
+    Y = jax.scipy.linalg.solve_triangular(
+        L, jnp.swapaxes(W, -1, -2), lower=True
+    )
+    S = -sym(Y)
+    n = S.shape[-1]
+    # Gershgorin shift makes S + cI PSD so power iteration finds c + lam_max
+    c = jnp.max(jnp.sum(jnp.abs(S), axis=-1), axis=-1)
+    Sc = S + c[..., None, None] * jnp.eye(n, dtype=S.dtype)
+    v = jnp.ones(S.shape[:-1], S.dtype)[..., None] / jnp.sqrt(
+        jnp.asarray(n, S.dtype))
+
+    def body(_, v):
+        w = Sc @ v
+        return w / jnp.maximum(
+            jnp.linalg.norm(w, axis=(-2, -1), keepdims=True), 1e-300)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    lam = jnp.sum(v * (Sc @ v), axis=(-2, -1)) - c
+    safe = lam <= 1e-12
+    return jnp.where(safe, jnp.inf, 1.0 / jnp.where(safe, 1.0, lam))
+
+
 def max_step_pos(v: jnp.ndarray, dv: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Largest alpha with  v + alpha*dv >= 0  elementwise over masked entries.
 

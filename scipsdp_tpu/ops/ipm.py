@@ -51,6 +51,7 @@ from scipsdp_tpu.ops.eigen import (
     chol_solve,
     max_step_pos,
     max_step_psd,
+    max_step_psd_power,
     min_eigenvalue,
     spd_inverse,
     sym,
@@ -539,12 +540,15 @@ def ipm_solve(
             dxub = jnp.where(pre.ubmask, (rcub - st.xub * dsub) / st.sub, 0.0)
             return dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub
 
+        psd_step = (max_step_psd_power if settings.step_rule == "power"
+                    else max_step_psd)
+
         def steplens(dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub):
-            ap = jnp.min(max_step_psd(Lx, dX), axis=1)
+            ap = jnp.min(psd_step(Lx, dX), axis=1)
             ap = jnp.minimum(ap, max_step_pos(st.xl, dxl, pre.rowmask))
             ap = jnp.minimum(ap, max_step_pos(st.xlb, dxlb, pre.lbmask))
             ap = jnp.minimum(ap, max_step_pos(st.xub, dxub, pre.ubmask))
-            ad = jnp.min(max_step_psd(Ls, dS), axis=1)
+            ad = jnp.min(psd_step(Ls, dS), axis=1)
             ad = jnp.minimum(ad, max_step_pos(st.sl, dsl, pre.rowmask))
             ad = jnp.minimum(ad, max_step_pos(st.slb, dslb, pre.lbmask))
             ad = jnp.minimum(ad, max_step_pos(st.sub, dsub, pre.ubmask))
@@ -603,6 +607,17 @@ def ipm_solve(
         ap, ad = steplens(dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub)
         ap = jnp.minimum(settings.tau * ap, 1.0)
         ad = jnp.minimum(settings.tau * ad, 1.0)
+
+        if settings.step_rule == "power":
+            # the power estimate can overshoot the PSD boundary: probe the
+            # stepped matrices with a Cholesky and shrink offending steps
+            for _ in range(2):
+                okx = ~jnp.any(jnp.isnan(jnp.linalg.cholesky(
+                    st.X + ap[:, None, None, None] * dX)), axis=(1, 2, 3))
+                oks = ~jnp.any(jnp.isnan(jnp.linalg.cholesky(
+                    st.S + ad[:, None, None, None] * dS)), axis=(1, 2, 3))
+                ap = jnp.where(okx, ap, 0.4 * ap)
+                ad = jnp.where(oks, ad, 0.4 * ad)
 
         # freeze finished instances; detect numerical failure (NaN)
         bad = (

@@ -57,6 +57,10 @@ class IPMSettings:
                                     # combination (DEFAULT_WARMSTARTIPFACTOR)
     use_pallas: bool = False       # hand-written Pallas TPU kernel for the
                                    # Schur product (else XLA matmul)
+    step_rule: str = "power"       # PSD max-step via "power" iteration +
+                                   # Cholesky-probe repair (fast on TPU,
+                                   # where eigh costs ~30 matmul rounds) or
+                                   # exact "eigh"
 
 
 @dataclasses.dataclass(frozen=True)

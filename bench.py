@@ -52,7 +52,9 @@ def main():
     m = iface.m
 
     # root relaxation solution guides realistic branching-style bounds
-    yroot = iface.solve_batch(prob.lb[None, :], prob.ub[None, :]).y[0]
+    # (solved at batch shape B so the device graph is compiled only once)
+    yroot = iface.solve_batch(np.tile(prob.lb, (B, 1)),
+                              np.tile(prob.ub, (B, 1))).y[0]
 
     def make_batch(seed):
         # simulate a B&B node batch: root bounds plus one-sided branching

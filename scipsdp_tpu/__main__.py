@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     ap.add_argument("--branching", default="infobjective",
                     choices=["mostfrac", "mostinf", "objective",
                              "infobjective"])
+    ap.add_argument("--settings", metavar="FILE",
+                    help="SCIP-style .set parameter file "
+                         "(reference settings/*.set work)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
     ap.add_argument("-q", "--quiet", action="store_true")
@@ -68,6 +71,9 @@ def main(argv=None) -> int:
                       branching_rule=args.branching),
         solve_sdps=0 if args.lp_approx else 1,
     )
+    if args.settings:
+        from scipsdp_tpu.utils.paramfile import load_settings_file
+        settings = load_settings_file(args.settings, settings)
     res = solve_misdp(prob, settings, log=not args.quiet)
 
     print(f"\nSCIP-SDP-TPU status : {res.status.name}")

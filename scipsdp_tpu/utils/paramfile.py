@@ -1,0 +1,83 @@
+"""SCIP-style settings-file loader.
+
+The reference ships ``settings/*.set`` files ("param = value" lines, SCIP
+names).  This maps the SCIP-SDP parameter names onto our Settings tree so
+reference setting files drive this framework too:
+
+    settings = load_settings_file("settings/lp_approx.set")
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from scipsdp_tpu.utils.config import Settings
+
+# SCIP(-SDP) parameter name -> (section, field, type)
+_PARAM_MAP = {
+    "misc/solvesdps": ("", "solve_sdps", int),
+    "numerics/feastol": ("bb", "feastol", float),
+    "numerics/dualfeastol": ("bb", "dualfeastol", float),
+    "limits/nodes": ("bb", "node_limit", int),
+    "limits/time": ("bb", "time_limit", float),
+    "limits/gap": ("bb", "gaplimit", float),
+    "relaxing/SDP/sdpsolvergaptol": ("ipm", "gaptol", float),
+    "relaxing/SDP/sdpsolverfeastol": ("ipm", "feastol", float),
+    "relaxing/SDP/penaltyparam": ("ipm", "penaltyparam", float),
+    "relaxing/SDP/maxpenaltyparam": ("ipm", "maxpenaltyparam", float),
+    "relaxing/SDP/npenaltyincr": ("ipm", "npenaltyincr", int),
+    "relaxing/SDP/peninfeasadjust": ("ipm", "peninfeasadjust", float),
+    "relaxing/SDP/warmstart": ("bb", "warmstart", bool),
+    "relaxing/SDP/warmstartipfactor": ("ipm", "warmstartipfactor", float),
+    "constraints/SDP/diaggezerocuts": ("presolve", "diaggezerocuts", bool),
+    "constraints/SDP/twominorlinconss": ("presolve", "twominorlinconss",
+                                         bool),
+    "propagating/sdp-symmetry/freq": ("", "use_symmetry", bool),
+    "heuristics/sdpfracdiving/freq": ("bb", "diving_freq", int),
+    "propagating/sdpobbt/freq": ("bb", "obbt_at_root", bool),
+    "branching/sdpmostfrac/priority": None,   # selected via rule name below
+    "branching/rule": ("bb", "branching_rule", str),
+}
+
+
+def _parse_value(raw: str, typ):
+    raw = raw.strip()
+    if typ is bool:
+        if raw.upper() in ("TRUE", "1"):
+            return True
+        if raw.upper() in ("FALSE", "0", "-1"):
+            return False
+        return float(raw) > 0
+    return typ(raw)
+
+
+def load_settings_file(path: str, base: Settings = None) -> Settings:
+    settings = base or Settings()
+    updates = {"": {}, "bb": {}, "ipm": {}, "presolve": {}}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if not line or "=" not in line:
+                continue
+            name, raw = (t.strip() for t in line.split("=", 1))
+            spec = _PARAM_MAP.get(name)
+            if spec is None:
+                continue  # unknown params are ignored (SCIP warns only)
+            section, field, typ = spec
+            updates[section][field] = _parse_value(raw, typ)
+
+    if updates["bb"]:
+        settings = dataclasses.replace(
+            settings, bb=dataclasses.replace(settings.bb, **updates["bb"]))
+    if updates["ipm"]:
+        settings = dataclasses.replace(
+            settings, ipm=dataclasses.replace(settings.ipm,
+                                              **updates["ipm"]))
+    if updates["presolve"]:
+        settings = dataclasses.replace(
+            settings,
+            presolve=dataclasses.replace(settings.presolve,
+                                         **updates["presolve"]))
+    if updates[""]:
+        settings = dataclasses.replace(settings, **updates[""])
+    return settings

@@ -73,3 +73,11 @@ def test_presolve_settings_respected():
                                             twominorlinconss=True))
     out2 = presolve_problem(prob, s2)
     assert out2.lp.nrows > 1
+
+
+def test_settings_file_loader():
+    from scipsdp_tpu.utils.paramfile import load_settings_file
+    s = load_settings_file("/root/reference/settings/lp_approx.set")
+    assert s.solve_sdps == 0
+    s2 = load_settings_file("/root/reference/settings/scip-1.set")
+    assert s2.ipm.gaptol == 1e-5

@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     ap.add_argument("--branching", default="infobjective",
                     choices=["mostfrac", "mostinf", "objective",
                              "infobjective"])
+    ap.add_argument("--slater", action="store_true",
+                    help="report the root Slater condition diagnosis "
+                         "(table_slater analog)")
     ap.add_argument("--settings", metavar="FILE",
                     help="SCIP-style .set parameter file "
                          "(reference settings/*.set work)")
@@ -74,6 +77,16 @@ def main(argv=None) -> int:
     if args.settings:
         from scipsdp_tpu.utils.paramfile import load_settings_file
         settings = load_settings_file(args.settings, settings)
+    if args.slater:
+        from scipsdp_tpu.core.probing import slater_check
+        from scipsdp_tpu.core.sdpi import SDPInterface
+        from scipsdp_tpu.models.problem import densify
+        iface = SDPInterface(densify(prob), settings)
+        st = slater_check(iface, prob.lb[None, :], prob.ub[None, :])
+        names = {1: "holds", 0: "fails (boundary/infeasible)",
+                 -1: "undecided"}
+        print(f"root dual Slater condition: {names[int(st[0])]}")
+
     res = solve_misdp(prob, settings, log=not args.quiet)
 
     print(f"\nSCIP-SDP-TPU status : {res.status.name}")

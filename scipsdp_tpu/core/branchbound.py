@@ -68,6 +68,7 @@ class BBStats:
     sep_rounds: int = 0
     redcost_tightenings: int = 0
     wall_time: float = 0.0
+    solve_time: float = 0.0   # device relaxation-solve time (sdpiclock role)
 
 
 @dataclasses.dataclass
@@ -232,6 +233,7 @@ class _Solver:
 
     def solve_relaxations(self, batch: List[_Node], B: int,
                           lb: np.ndarray, ub: np.ndarray):
+        t_solve = time.time()
         cuts = self._assemble_cuts(batch, B)
         # in SDP mode the rounding heuristics ride the solve dispatch
         # (relaxation data == full data); LP mode checks on host below
@@ -272,6 +274,7 @@ class _Solver:
                 res = self.iface.solve_batch(lb, ub, cuts=cuts)
                 self.stats.relax_solves += 1
                 self.stats.solver_calls += res.nsolves
+        self.stats.solve_time += time.time() - t_solve
         return res
 
 

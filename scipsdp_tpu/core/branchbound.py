@@ -278,9 +278,42 @@ class _Solver:
         return res
 
 
+def save_checkpoint(path: str, frontier, incumbent_val, incumbent_y,
+                    stats: BBStats) -> None:
+    """Serialize the B&B frontier + incumbent (the reference has no solve-
+    level checkpointing, SURVEY.md section 5 — this adds it)."""
+    nodes = [(node.lb, node.ub, node.bound, node.depth)
+             for _, _, node in frontier]
+    np.savez_compressed(
+        path,
+        lbs=np.array([n[0] for n in nodes]) if nodes else np.zeros((0, 0)),
+        ubs=np.array([n[1] for n in nodes]) if nodes else np.zeros((0, 0)),
+        bounds=np.array([n[2] for n in nodes]),
+        depths=np.array([n[3] for n in nodes]),
+        incumbent_val=incumbent_val,
+        incumbent_y=(incumbent_y if incumbent_y is not None
+                     else np.zeros(0)),
+        nodes_processed=stats.nodes,
+    )
+
+
+def load_checkpoint(path: str):
+    """Returns (node tuples, incumbent_val, incumbent_y, nodes_processed)."""
+    z = np.load(path)
+    nodes = [(z["lbs"][i], z["ubs"][i], float(z["bounds"][i]),
+              int(z["depths"][i])) for i in range(len(z["bounds"]))]
+    inc_y = z["incumbent_y"] if z["incumbent_y"].size else None
+    return nodes, float(z["incumbent_val"]), inc_y, int(z["nodes_processed"])
+
+
 def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
-                log: bool = False) -> BBResult:
-    """Solve a MISDP by branch-and-bound with batched relaxation solves."""
+                log: bool = False, checkpoint: Optional[str] = None,
+                checkpoint_every: int = 50,
+                resume: bool = False) -> BBResult:
+    """Solve a MISDP by branch-and-bound with batched relaxation solves.
+
+    ``checkpoint``: path for periodic frontier+incumbent snapshots (every
+    ``checkpoint_every`` batches); ``resume=True`` restarts from it."""
     settings = settings or Settings()
     bb = settings.bb
     feastol = bb.feastol
@@ -335,8 +368,19 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
 
     counter = itertools.count()
     frontier: List[Tuple[float, int, _Node]] = []
-    heapq.heappush(frontier, (-np.inf, next(counter),
-                              _Node(root_lb, root_ub, -np.inf, 0)))
+    if resume and checkpoint is not None and os.path.exists(checkpoint):
+        nodes_ck, inc_v, inc_y, nproc = load_checkpoint(checkpoint)
+        incumbent_val = inc_v
+        incumbent_y = inc_y
+        stats.nodes = nproc
+        for nlb, nub, nbound, ndepth in nodes_ck:
+            heapq.heappush(frontier, (nbound, next(counter),
+                                      _Node(nlb, nub, nbound, ndepth)))
+        if not frontier and incumbent_y is None:
+            resume = False
+    if not frontier and (not resume or incumbent_y is None):
+        heapq.heappush(frontier, (-np.inf, next(counter),
+                                  _Node(root_lb, root_ub, -np.inf, 0)))
 
     unbounded = False
     hit_limit: Optional[SolveStatus] = None
@@ -715,6 +759,11 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                ysol=(y.copy() if y is not None
                                      and bb.warmstart else None))),
                     )
+
+        if (checkpoint is not None
+                and stats.relax_solves % max(checkpoint_every, 1) == 0):
+            save_checkpoint(checkpoint, frontier, incumbent_val,
+                            incumbent_y, stats)
 
         if log:
             fb = frontier[0][0] if frontier else incumbent_val

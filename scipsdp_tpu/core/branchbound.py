@@ -170,6 +170,14 @@ class _Solver:
             return v
 
         self.violation = violation
+        # cached arrays for per-node activity propagation
+        self._prop_cache = None
+
+    def propagate_node(self, lb: np.ndarray, ub: np.ndarray):
+        """Activity-based tightening at node creation (cached row data);
+        returns (lb, ub, conflict)."""
+        from scipsdp_tpu.core.propagate import tighten_bounds
+        return tighten_bounds(self.prob, lb, ub, rounds=2)
 
     # -- cuts ---------------------------------------------------------------
 
@@ -405,6 +413,9 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             if node.bound >= incumbent_val - prune_slack:  # late bound pruning
                 continue
             batch.append(node)
+            if bb.node_selection == "dfs" and len(batch) >= max(
+                    1, bb.batch_size // 4):
+                break  # DFS: smaller batches, dive down quickly
         if not batch:
             break
 
@@ -751,10 +762,15 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
 
             for clb, cub, ccuts in children:
                 _apply_indicator_propagation(prob, clb, cub)
+                clb, cub, child_conflict = sol.propagate_node(clb, cub)
+                if child_conflict:
+                    continue
                 if np.all(clb <= cub + feastol):
+                    prio = (bound if bb.node_selection != "dfs"
+                            else -float(node.depth + 1))
                     heapq.heappush(
                         frontier,
-                        (bound, next(counter),
+                        (prio, next(counter),
                          _Node(clb, cub, bound, node.depth + 1, ccuts,
                                ysol=(y.copy() if y is not None
                                      and bb.warmstart else None))),

@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     ap.add_argument("--branching", default="infobjective",
                     choices=["mostfrac", "mostinf", "objective",
                              "infobjective"])
+    ap.add_argument("--checkpoint", metavar="FILE",
+                    help="periodic frontier checkpoint file")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the checkpoint file")
     ap.add_argument("--slater", action="store_true",
                     help="report the root Slater condition diagnosis "
                          "(table_slater analog)")
@@ -87,7 +91,8 @@ def main(argv=None) -> int:
                  -1: "undecided"}
         print(f"root dual Slater condition: {names[int(st[0])]}")
 
-    res = solve_misdp(prob, settings, log=not args.quiet)
+    res = solve_misdp(prob, settings, log=not args.quiet,
+                      checkpoint=args.checkpoint, resume=args.resume)
 
     print(f"\nSCIP-SDP-TPU status : {res.status.name}")
     if res.objval is not None:

@@ -101,8 +101,7 @@ class SDPInterface:
         # mixed precision: fast f32 tier with f64 escalation (the
         # reference's fast->stable solver-settings tiers)
         mp = self.settings.ipm.mixed_precision
-        self._mp = (mp == "on") or (mp == "auto"
-                                    and jax.default_backend() == "tpu")
+        self._mp = mp == "on"
         if self._mp:
             import dataclasses as _dc
 

@@ -40,11 +40,13 @@ class IPMSettings:
     min_gaptol: float = 1e-10      # MIN_GAPTOL when shrinking for penalty
     # numerics
     dtype: str = "float64"         # "float64" | "float32"
-    mixed_precision: str = "auto"  # "auto" | "on" | "off": try a fast f32
-                                   # solve first and escalate failures to
-                                   # f64 (the reference's fast->stable
-                                   # settings tiers, sdpisolver_sdpa.cpp:
-                                   # 1416-1441); auto = on for TPU backends
+    mixed_precision: str = "off"   # "on" | "off": try a fast f32 solve
+                                   # first and escalate failures to f64
+                                   # (the reference's fast->stable settings
+                                   # tiers).  Measured on v5e: f32 cannot
+                                   # reach gaptol 1e-5, so the tier only
+                                   # pays off with loosened tolerances —
+                                   # off by default
     tau: float = 0.95              # fraction-to-boundary step factor
     tau_final: float = 0.98        # step factor once mu is small
     sigma_min: float = 1e-8        # minimum centering parameter
@@ -57,10 +59,11 @@ class IPMSettings:
                                     # combination (DEFAULT_WARMSTARTIPFACTOR)
     use_pallas: bool = False       # hand-written Pallas TPU kernel for the
                                    # Schur product (else XLA matmul)
-    step_rule: str = "power"       # PSD max-step via "power" iteration +
-                                   # Cholesky-probe repair (fast on TPU,
-                                   # where eigh costs ~30 matmul rounds) or
-                                   # exact "eigh"
+    step_rule: str = "eigh"        # PSD max-step: exact "eigh" or "power"
+                                   # iteration + Cholesky-probe repair.
+                                   # Measured on v5e: eigh wins in f64
+                                   # (XLA's QDWH vectorizes well at these
+                                   # block sizes); power wins in f32
 
 
 @dataclasses.dataclass(frozen=True)

@@ -562,8 +562,24 @@ def ipm_solve(
         rcub_a = jnp.where(pre.ubmask, -st.xub * st.sub, 0.0)
         da = direction(Rc_a, rcl_a, rclb_a, rcub_a)
         dy_a, dX_a, dS_a, dxl_a, dsl_a, dxlb_a, dslb_a, dxub_a, dsub_a = da
-        ap_a, ad_a = steplens(dX_a, dS_a, dxl_a, dsl_a, dxlb_a, dslb_a,
-                              dxub_a, dsub_a)
+        # the affine step lengths only feed Mehrotra's sigma estimate, so a
+        # cheap conservative Gershgorin bound replaces the exact PSD
+        # max-step (halves the eigendecompositions per iteration)
+        def psd_step_cheap(L, dM):
+            W = jax.scipy.linalg.solve_triangular(L, dM, lower=True)
+            Y = jax.scipy.linalg.solve_triangular(
+                L, jnp.swapaxes(W, -1, -2), lower=True)
+            lam_bound = jnp.max(jnp.sum(jnp.abs(sym(Y)), axis=-1), axis=-1)
+            return 1.0 / jnp.maximum(lam_bound, 1e-300)
+
+        ap_a = jnp.min(psd_step_cheap(Lx, dX_a), axis=1)
+        ap_a = jnp.minimum(ap_a, max_step_pos(st.xl, dxl_a, pre.rowmask))
+        ap_a = jnp.minimum(ap_a, max_step_pos(st.xlb, dxlb_a, pre.lbmask))
+        ap_a = jnp.minimum(ap_a, max_step_pos(st.xub, dxub_a, pre.ubmask))
+        ad_a = jnp.min(psd_step_cheap(Ls, dS_a), axis=1)
+        ad_a = jnp.minimum(ad_a, max_step_pos(st.sl, dsl_a, pre.rowmask))
+        ad_a = jnp.minimum(ad_a, max_step_pos(st.slb, dslb_a, pre.lbmask))
+        ad_a = jnp.minimum(ad_a, max_step_pos(st.sub, dsub_a, pre.ubmask))
         ap_a = jnp.minimum(ap_a, 1.0)
         ad_a = jnp.minimum(ad_a, 1.0)
 

@@ -51,8 +51,11 @@ class IPMSettings:
     tau_final: float = 0.98        # step factor once mu is small
     sigma_min: float = 1e-8        # minimum centering parameter
     chol_reg: float = 1e-12        # Schur diagonal regularization (relative)
-    init_point_scale: float = 10.0  # lambda*-style initial point scaling
-                                    # (SDPA lambdastar, relax_sdp.c:74)
+    init_point_scale: float = 1.0  # lambda*-style initial point scaling
+                                   # (SDPA lambdastar, relax_sdp.c:74);
+                                   # multiplied by per-instance data norms;
+                                   # 1.0 measured ~20% fewer IPM iterations
+                                   # than 10.0 across the testset
     presolve_rounds: int = 3       # vectorized prepareLPData passes
                                    # (sdpi.c:1131 loop)
     warmstartipfactor: float = 0.5  # identity share in warmstart convex

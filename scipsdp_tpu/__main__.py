@@ -49,8 +49,6 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    import dataclasses
-
     from scipsdp_tpu.core.branchbound import solve_misdp
     from scipsdp_tpu.models.io import read_problem
     from scipsdp_tpu.utils.config import BBSettings, IPMSettings, Settings

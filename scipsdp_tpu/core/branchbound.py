@@ -34,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 import heapq
 import itertools
+import os
 import time
 from typing import List, Optional, Tuple
 
@@ -48,7 +49,6 @@ from scipsdp_tpu.models.problem import INF, MISDP, DenseSDPData, densify
 from scipsdp_tpu.utils.config import Settings
 from scipsdp_tpu.utils.status import SolveStatus, SolverResultStatus
 
-import os
 _DEBUG_RANK1 = bool(os.environ.get("SCIPSDP_DEBUG_RANK1"))
 CUT_CHUNK = 16          # cut-buffer capacity granularity (bounds recompiles)
 MAX_POOL = 512          # global eigenvector cut pool cap (LP mode)
@@ -131,7 +131,6 @@ class _Solver:
         self.lp_mode = settings.solve_sdps == 0
         if self.lp_mode:
             # LP relaxation data: same rows/bounds, no SDP blocks
-            lp_prob = dataclasses.replace(prob)  # shallow is fine
             lp_dense = densify(
                 MISDP(nvars=prob.nvars, obj=prob.obj, lb=prob.lb,
                       ub=prob.ub, integral=prob.integral, blocks=[],

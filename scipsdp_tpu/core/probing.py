@@ -147,8 +147,6 @@ def inner_lp_point(prob, settings, y_ref: Optional[np.ndarray] = None):
     variables are fixed to the rounding of ``y_ref`` (or their bounds'
     midpoint rounding) before solving, so a feasible LP point is a feasible
     MISDP point.  Returns (y (m,), feasible: bool)."""
-    import dataclasses
-
     from scipsdp_tpu.models.problem import (
         LinearConstraints, MISDP, densify)
 

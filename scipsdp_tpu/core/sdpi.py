@@ -44,8 +44,6 @@ BOX_BOUND = 1e7       # artificial box for unboundedness detection
 
 def _merge_outputs(out32, out64, take: np.ndarray):
     """Overwrite rows of a SolveOutput with the escalated f64 results."""
-    import jax.numpy as _jnp
-
     def mix(a, b):
         a = np.asarray(a)
         b = np.asarray(b)

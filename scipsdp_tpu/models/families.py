@@ -11,8 +11,6 @@ All generators return MISDPs in the internal minimization dual form.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from scipsdp_tpu.models.problem import (

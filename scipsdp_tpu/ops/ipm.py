@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scipsdp_tpu.models.problem import DenseSDPData, INF
+from scipsdp_tpu.models.problem import DenseSDPData
 from scipsdp_tpu.ops.eigen import (
     chol_solve,
     max_step_pos,

@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:  # pltpu is importable on CPU too (for interpret mode)
-    from jax.experimental.pallas import tpu as pltpu
+try:  # probe TPU-pallas availability (kernel runs via pl on any backend)
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
     _HAS_PLTPU = True
 except Exception:  # pragma: no cover
     _HAS_PLTPU = False

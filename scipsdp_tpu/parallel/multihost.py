@@ -25,7 +25,6 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from scipsdp_tpu.models.problem import MISDP

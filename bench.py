@@ -8,7 +8,11 @@ Metric: B&B nodes per second for a complete solve of example_CLS
 headline "B&B nodes/s" with everything included: batched IPM relaxations,
 recovery ladder, heuristics, propagation, pruning.  A warm-up solve with a
 small node limit first compiles every device graph so the timed solve
-measures steady-state throughput (first-compile is one-off and cached).
+measures steady-state throughput.
+
+Resilience: the TPU attempt runs in a subprocess with a time budget (the
+environment's remote-compile service can wedge); on timeout/failure the
+benchmark reruns on CPU and says so in the unit string.
 
 Baseline: the reference publishes no timing numbers (BASELINE.md).  The
 driver target is >=10x single-thread SCIP-SDP+DSDP nodes/s; we take
@@ -19,51 +23,79 @@ so vs_baseline = value / 100.0.  `--smoke` uses example_small.
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 
+TPU_BUDGET_S = 1500
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--smoke", action="store_true",
-                    help="small/fast configuration (CPU-friendly)")
-    ap.add_argument("--batch", type=int, default=None)
-    args = ap.parse_args()
 
+def run_impl(smoke: bool, batch: int, backend: str):
     import jax
+
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from scipsdp_tpu.core.branchbound import solve_misdp
     from scipsdp_tpu.models.io import read_problem
     from scipsdp_tpu.utils.config import BBSettings, Settings
 
-    if args.smoke:
+    if smoke:
         path = "/root/reference/instances/example_small.dat-s"
         expect = -8.0
     else:
         path = "/root/reference/instances/example_CLS.dat-s.gz"
         expect = 7.1485
-    B = args.batch or 16
 
     prob = read_problem(path)
+    warm = Settings(bb=BBSettings(batch_size=batch, node_limit=2 * batch))
+    solve_misdp(prob, warm)     # compiles all device graphs
 
-    # warm-up: compiles all device graphs (solve + ladder + fused rounding)
-    warm = Settings(bb=BBSettings(batch_size=B, node_limit=2 * B))
-    solve_misdp(prob, warm)
-
-    # timed: complete solve
-    settings = Settings(bb=BBSettings(batch_size=B))
-    res = solve_misdp(prob, settings)
+    res = solve_misdp(prob, Settings(bb=BBSettings(batch_size=batch)))
     ok = (res.objval is not None and abs(res.objval - expect) < 1e-3)
     value = res.stats.nodes / max(res.stats.wall_time, 1e-9)
-
     print(json.dumps({
         "metric": "bb_nodes_per_s",
         "value": round(value, 2),
-        "unit": f"nodes/s (full solve, {prob.name}, batch={B}, "
+        "unit": f"nodes/s (full solve, {prob.name}, batch={batch}, "
                 f"{jax.default_backend()}, {res.stats.nodes} nodes, "
                 f"objective {'ok' if ok else 'MISMATCH'})",
         "vs_baseline": round(value / 100.0, 3),
-    }))
+    }), flush=True)
     return 0 if ok else 1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--impl", choices=["tpu", "cpu"],
+                    help="internal: run the measurement in-process")
+    args = ap.parse_args()
+
+    if args.impl:
+        return run_impl(args.smoke, args.batch, args.impl)
+
+    base = [sys.executable, os.path.abspath(__file__),
+            "--batch", str(args.batch)] + (["--smoke"] if args.smoke else [])
+    try:
+        out = subprocess.run(base + ["--impl", "tpu"], timeout=TPU_BUDGET_S,
+                             capture_output=True, text=True)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return 0
+    except subprocess.TimeoutExpired:
+        pass
+    # fallback: CPU
+    out = subprocess.run(base + ["--impl", "cpu"], capture_output=True,
+                         text=True)
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            print(line)
+            return 0
+    sys.stderr.write(out.stderr[-2000:])
+    return 1
 
 
 if __name__ == "__main__":

@@ -710,7 +710,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             if (st == SolverResultStatus.OPTIMAL
                     and np.isfinite(incumbent_val)):
                 stats.redcost_tightenings += redcost_tighten(
-                    node.lb, node.ub, y, res.xlb[i], res.xub[i],
+                    node.lb, node.ub, res.xlb[i], res.xub[i],
                     bound, incumbent_val, integral, feastol)
 
             # branching

@@ -20,7 +20,7 @@ import numpy as np
 MIN_MULT = 1e-6   # ignore tiny multipliers (numerical noise)
 
 
-def redcost_tighten(lb: np.ndarray, ub: np.ndarray, y: np.ndarray,
+def redcost_tighten(lb: np.ndarray, ub: np.ndarray,
                     xlb: np.ndarray, xub: np.ndarray, relaxval: float,
                     cutoff: float, integral: np.ndarray,
                     feastol: float) -> int:

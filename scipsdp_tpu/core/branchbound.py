@@ -225,15 +225,15 @@ class _Solver:
 
         sep = separate_eigenvector_cuts(
             self.full_iface.data, y, tol=self.settings.bb.feastol)
-        coefs = np.asarray(sep.coefs)[:nreal]
-        rhs = np.asarray(sep.rhs)[:nreal]
-        valid = np.asarray(sep.valid)[:nreal]
         added = 0
-        idx = np.argwhere(valid)
-        for (i, k, e) in idx:
-            g = coefs[i, k, e, : self.m]
-            if self._add_pool_cut(g, rhs[i, k, e]):
-                added += 1
+        for t in range(self.full_iface.data.nbuckets):
+            coefs = np.asarray(sep.coefs[t])[:nreal]
+            rhs = np.asarray(sep.rhs[t])[:nreal]
+            valid = np.asarray(sep.valid[t])[:nreal]
+            for (i, k, e) in np.argwhere(valid):
+                g = coefs[i, k, e, : self.m]
+                if self._add_pool_cut(g, rhs[i, k, e]):
+                    added += 1
         return added
 
     # -- relaxation solving -------------------------------------------------

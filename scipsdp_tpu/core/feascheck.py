@@ -3,8 +3,8 @@
 Analog of the SDP constraint handler's check callback
 (SCIPconsSdpCheckSdpCons, cons_sdp.c:672-729: smallest eigenvalue of
 Z(y) >= -feastol per block) plus LP rows and bounds, and of the
-independent solution checker (sdpsolchecker.c:58).  One batched eigh
-decides feasibility for a whole batch of points.
+independent solution checker (sdpsolchecker.c:58).  One batched eigh per
+size bucket decides feasibility for a whole batch of points.
 """
 
 from __future__ import annotations
@@ -27,15 +27,18 @@ def check_points(data: IPMData, y: jnp.ndarray, lb: jnp.ndarray,
     """
     B = y.shape[0]
     yx = jnp.concatenate([y, jnp.zeros((B, 1), y.dtype)], axis=1)
-    Z = jnp.einsum("kjab,xj->xkab", data.A, yx) - data.C[None]
-    lam = min_eigenvalue(Z, jnp.broadcast_to(data.dimmask[None], Z.shape[:-1]))
-    sdp_viol = jnp.max(jnp.maximum(-lam, 0.0), axis=1)
+    viol = jnp.zeros((B,), yx.dtype)
+    for t in range(data.nbuckets):
+        Z = jnp.einsum("kjab,xj->xkab", data.A[t], yx) - data.C[t][None]
+        lam = min_eigenvalue(
+            Z, jnp.broadcast_to(data.dimmask[t][None], Z.shape[:-1]))
+        viol = jnp.maximum(viol, jnp.max(jnp.maximum(-lam, 0.0), axis=1))
     Gy = jnp.einsum("pm,xm->xp", data.G, yx)
     lp_viol = jnp.max(jnp.maximum(data.h[None] - Gy, 0.0), axis=1)
     lb_viol = jnp.max(jnp.maximum(jnp.where(lb > -1e19, lb - y, 0.0), 0.0),
                       axis=1)
     ub_viol = jnp.max(jnp.maximum(jnp.where(ub < 1e19, y - ub, 0.0), 0.0),
                       axis=1)
-    viol = jnp.maximum(jnp.maximum(sdp_viol, lp_viol),
-                       jnp.maximum(lb_viol, ub_viol))
+    viol = jnp.maximum(viol, jnp.maximum(lp_viol,
+                                         jnp.maximum(lb_viol, ub_viol)))
     return viol <= feastol, viol

@@ -44,7 +44,7 @@ BOX_BOUND = 1e7       # artificial box for unboundedness detection
 
 def _merge_outputs(out32, out64, take: np.ndarray):
     """Overwrite rows of a SolveOutput with the escalated f64 results."""
-    def mix(a, b):
+    def mix1(a, b):
         a = np.asarray(a)
         b = np.asarray(b)
         if a.ndim == 0:
@@ -52,6 +52,11 @@ def _merge_outputs(out32, out64, take: np.ndarray):
         t = take.reshape((-1,) + (1,) * (a.ndim - 1))
         return np.where(t, b.astype(np.float64) if a.dtype != b.dtype else b,
                         a)
+
+    def mix(a, b):
+        if isinstance(a, tuple):
+            return tuple(mix1(x, y) for x, y in zip(a, b))
+        return mix1(a, b)
 
     from scipsdp_tpu.ops.ipm import SolveOutput
     return SolveOutput(*(mix(a, b) for a, b in zip(out32, out64)))
@@ -164,7 +169,7 @@ class SDPInterface:
         import dataclasses as _dc
 
         s = self.settings.ipm
-        if data.A.dtype == jnp.float32:
+        if data.A[0].dtype == jnp.float32:
             s = _dc.replace(s, dtype="float32", chol_reg=1e-9)
         out = ipm_solve(data, b, lb, ub, Gcut, hcut, cvalid,
                         warm_y, warm_mask, settings=s)
@@ -180,10 +185,15 @@ class SDPInterface:
                 on = yc[:, bi] >= 0.5
                 yc = yc.at[:, si].set(jnp.where(on, 0.0, yc[:, si]))
             yx = jnp.concatenate([yc, jnp.zeros((B, 1), yc.dtype)], axis=1)
-            Z = jnp.einsum("kjab,xj->xkab", data.A, yx) - data.C[None]
-            lam = min_eigenvalue(
-                Z, jnp.broadcast_to(data.dimmask[None], Z.shape[:-1]))
-            viol = jnp.max(jnp.maximum(-lam, 0.0), axis=1)
+            viol = jnp.zeros((B,), yc.dtype)
+            for t in range(data.nbuckets):
+                Z = jnp.einsum("kjab,xj->xkab", data.A[t], yx) \
+                    - data.C[t][None]
+                lam = min_eigenvalue(
+                    Z, jnp.broadcast_to(data.dimmask[t][None],
+                                        Z.shape[:-1]))
+                viol = jnp.maximum(
+                    viol, jnp.max(jnp.maximum(-lam, 0.0), axis=1))
             Gy = jnp.einsum("pm,xm->xp", data.G, yx)
             viol = jnp.maximum(
                 viol, jnp.max(jnp.maximum(data.h[None] - Gy, 0.0), axis=1))
@@ -273,7 +283,7 @@ class SDPInterface:
         status = np.asarray(out.status).copy()
         objval = np.asarray(out.dobj).copy()
         y = np.asarray(out.y)[:, :m].copy()
-        X = np.asarray(out.X).copy()
+        X = [np.array(xb) for xb in out.X]
         xl = np.asarray(out.xl).copy()
         xlb = np.asarray(out.xlb)[:, :m].copy()
         xub = np.asarray(out.xub)[:, :m].copy()
@@ -333,7 +343,8 @@ class SDPInterface:
                         - gamma * kr[feasorig]
                     )
                     y[feasorig] = ky[feasorig, :m]
-                    X[feasorig] = np.asarray(outk.X)[feasorig]
+                    for t in range(len(X)):
+                        X[t][feasorig] = np.asarray(outk.X[t])[feasorig]
                     xl[feasorig] = np.asarray(outk.xl)[feasorig]
                     xlb[feasorig] = np.asarray(outk.xlb)[feasorig, :m]
                     xub[feasorig] = np.asarray(outk.xub)[feasorig, :m]
@@ -389,7 +400,8 @@ class SDPInterface:
             status[recovered] = int(SolverResultStatus.OPTIMAL)
             objval[recovered] = np.asarray(outb.dobj)[recovered]
             y[recovered] = byfull[recovered]
-            X[recovered] = np.asarray(outb.X)[recovered]
+            for t in range(len(X)):
+                X[t][recovered] = np.asarray(outb.X[t])[recovered]
             xl[recovered] = np.asarray(outb.xl)[recovered]
             xlb[recovered] = np.asarray(outb.xlb)[recovered, :m]
             xub[recovered] = np.asarray(outb.xub)[recovered, :m]

@@ -28,10 +28,12 @@ from scipsdp_tpu.ops.ipm import IPMData
 
 
 class CutBatch(NamedTuple):
-    coefs: jnp.ndarray   # (B, K, n, mp) cut coefficients (v^T A_j v)
-    rhs: jnp.ndarray     # (B, K, n) cut right-hand sides (v^T A_0 v)
-    valid: jnp.ndarray   # (B, K, n) bool: eigenvalue < -tol
-    lam: jnp.ndarray     # (B, K, n) eigenvalues of Z(y)
+    """Per-bucket tuples: element t has shapes (B, K_t, n_t, ...)."""
+
+    coefs: tuple   # per bucket (B, K_t, n_t, mp) coefficients (v^T A_j v)
+    rhs: tuple     # per bucket (B, K_t, n_t) right-hand sides (v^T A_0 v)
+    valid: tuple   # per bucket (B, K_t, n_t) bool: eigenvalue < -tol
+    lam: tuple     # per bucket (B, K_t, n_t) eigenvalues of Z(y)
 
 
 @functools.partial(jax.jit, static_argnames=("tol",))
@@ -45,25 +47,31 @@ def separate_eigenvector_cuts(data: IPMData, y: jnp.ndarray,
     the extended variable space (mp = m + 1, penalty column = v^T I v = 1).
     """
     B = y.shape[0]
-    mp = data.A.shape[1]
+    mp = data.A[0].shape[1]
     if y.shape[1] == mp - 1:
         y = jnp.concatenate([y, jnp.zeros((B, 1), y.dtype)], axis=1)
-    Z = jnp.einsum("kjab,xj->xkab", data.A, y) - data.C[None]
-    # mask padding: large positive diagonal so padded eigenpairs are never
-    # selected as negative
-    n = Z.shape[-1]
-    outer = data.dimmask[None, :, :, None] & data.dimmask[None, :, None, :]
-    big = 1.0 + jnp.max(jnp.abs(Z), axis=(-1, -2), keepdims=True)
-    Zm = jnp.where(outer, Z, big * jnp.eye(n, dtype=Z.dtype))
-    lam, V = jnp.linalg.eigh(Zm)          # (B,K,n), (B,K,n,n) columns = vecs
-    # coefficients: for eigenvector v (column e): v^T A_j v
-    coefs = jnp.einsum("xkae,kjab,xkbe->xkej", V, data.A, V)
-    rhs = jnp.einsum("xkae,kab,xkbe->xke", V, data.C, V)
-    # exclude padded blocks / padded eigenpairs (their eigenvalues are the
-    # large positive sentinels, so lam < -tol already excludes them)
-    realblock = data.dimmask.any(axis=1)  # (K,)
-    valid = (lam < -tol) & realblock[None, :, None]
-    return CutBatch(coefs=coefs, rhs=rhs, valid=valid, lam=lam)
+    coefs_t, rhs_t, valid_t, lam_t = [], [], [], []
+    for t in range(data.nbuckets):
+        Z = jnp.einsum("kjab,xj->xkab", data.A[t], y) - data.C[t][None]
+        # mask padding: large positive diagonal so padded eigenpairs are
+        # never selected as negative
+        n = Z.shape[-1]
+        outer = (data.dimmask[t][None, :, :, None]
+                 & data.dimmask[t][None, :, None, :])
+        big = 1.0 + jnp.max(jnp.abs(Z), axis=(-1, -2), keepdims=True)
+        Zm = jnp.where(outer, Z, big * jnp.eye(n, dtype=Z.dtype))
+        lam, V = jnp.linalg.eigh(Zm)      # (B,K,n), (B,K,n,n) cols = vecs
+        # coefficients: for eigenvector v (column e): v^T A_j v
+        coefs = jnp.einsum("xkae,kjab,xkbe->xkej", V, data.A[t], V)
+        rhs = jnp.einsum("xkae,kab,xkbe->xke", V, data.C[t], V)
+        realblock = data.dimmask[t].any(axis=1)  # (K_t,)
+        valid = (lam < -tol) & realblock[None, :, None]
+        coefs_t.append(coefs)
+        rhs_t.append(rhs)
+        valid_t.append(valid)
+        lam_t.append(lam)
+    return CutBatch(coefs=tuple(coefs_t), rhs=tuple(rhs_t),
+                    valid=tuple(valid_t), lam=tuple(lam_t))
 
 
 def sparsify_cut_tpower(Zk: jnp.ndarray, sparsity: int, iters: int = 20):

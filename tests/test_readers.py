@@ -130,3 +130,33 @@ def test_densify_padding():
     assert d.C[0, 3, 3] == -1.0
     assert not d.dimmask[0, 2:].any()
     assert d.dimmask[0, :2].all()
+
+
+def test_native_parser_matches_python(tmp_path):
+    """Fuzz: write generated families to .dat-s and check the native C++
+    tokenizer path produces the same problem as the pure-Python parser."""
+    from scipsdp_tpu.models import reader_sdpa
+    from scipsdp_tpu.models.families import (
+        cardinality_least_squares, truss_topology)
+    from scipsdp_tpu.models.writers import write_sdpa
+    from scipsdp_tpu.native import parse_sdpa_native
+
+    for prob in (cardinality_least_squares(5, 8, 2, seed=3),
+                 truss_topology(4, 1, seed=3)):
+        path = str(tmp_path / (prob.name + ".dat-s"))
+        write_sdpa(prob, path)
+        if parse_sdpa_native(path) is None:
+            pytest.skip("native parser unavailable")
+        a = reader_sdpa.read_sdpa(path)              # native fast path
+        b = reader_sdpa._read_sdpa_python(path, a.name)
+        assert a.nvars == b.nvars
+        np.testing.assert_allclose(a.obj, b.obj)
+        np.testing.assert_allclose(a.lb, b.lb)
+        np.testing.assert_allclose(a.ub, b.ub)
+        assert (a.integral == b.integral).all()
+        assert len(a.blocks) == len(b.blocks)
+        for ba, bb_ in zip(a.blocks, b.blocks):
+            np.testing.assert_allclose(ba.dense_coeff(a.nvars),
+                                       bb_.dense_coeff(b.nvars))
+            np.testing.assert_allclose(ba.dense_const(), bb_.dense_const())
+        np.testing.assert_allclose(a.lp.dense(a.nvars), b.lp.dense(b.nvars))

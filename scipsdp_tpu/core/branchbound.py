@@ -437,8 +437,12 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         if (bb.diving_freq > 0 and not sol.lp_mode
                 and stats.relax_solves % bb.diving_freq == 0):
             from scipsdp_tpu.core.probing import fracdive
+            start_ok = np.isin(res.status, (
+                int(SolverResultStatus.OPTIMAL),
+                int(SolverResultStatus.PRESOLVED_OPTIMAL)))
+            start_ok[len(batch):] = False
             ydive, dfeas = fracdive(sol.full_iface, lb, ub, res.y,
-                                    integral, feastol)
+                                    integral, feastol, start_ok=start_ok)
             for i in range(len(batch)):
                 if dfeas[i]:
                     if has_rank1 and r1.rank1_violation(

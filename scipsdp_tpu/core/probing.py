@@ -33,17 +33,21 @@ from scipsdp_tpu.utils.status import SolverResultStatus
 
 def fracdive(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray,
              y: np.ndarray, integral: np.ndarray, feastol: float,
-             max_depth: int = 8):
+             max_depth: int = 8, start_ok=None):
     """One batched dive: returns (best_y (B, m) or None rows, feas (B,)).
 
     Per level: fix the most fractional integer variable of every instance
     to its rounded value, re-solve the whole batch, stop when integral or
     infeasible (heur_sdpfracdiving.c:354-390 depth control simplified).
+    ``start_ok`` masks instances whose starting point is a valid
+    relaxation solution; every reported point is re-verified with the
+    independent feasibility check before being declared feasible.
     """
     B, m = y.shape
     lb = lb.copy()
     ub = ub.copy()
-    active = np.ones(B, dtype=bool)
+    active = (np.ones(B, dtype=bool) if start_ok is None
+              else np.asarray(start_ok, dtype=bool).copy())
     out_y = np.full((B, m), np.nan)
     out_feas = np.zeros(B, dtype=bool)
     cur_y = y.copy()
@@ -74,6 +78,17 @@ def fracdive(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray,
                                   int(SolverResultStatus.PRESOLVED_OPTIMAL)))
         active = active & ok
         cur_y = np.where(ok[:, None], res.y, cur_y)
+    # independent verification of every claimed-feasible point (role of
+    # the reference's sdpsolchecker: never trust a heuristic path)
+    if out_feas.any():
+        from scipsdp_tpu.core.feascheck import check_points
+        import jax.numpy as jnp
+
+        ys = np.where(out_feas[:, None], out_y, 0.0)
+        okv, _ = check_points(iface.data, jnp.asarray(ys),
+                              jnp.asarray(lb), jnp.asarray(ub),
+                              feastol=feastol)
+        out_feas = out_feas & np.asarray(okv)
     return out_y, out_feas
 
 

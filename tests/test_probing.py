@@ -128,3 +128,16 @@ def test_inner_lp_point():
                         jnp.asarray(prob.lb[None, :]),
                         jnp.asarray(prob.ub[None, :]))
     assert bool(np.asarray(f)[0])
+
+
+def test_warmstart_diving_interaction_regression():
+    """warmstart+diving once accepted an infeasible incumbent (-9 < true
+    optimum -8 on example_small): dives must verify their points."""
+    from scipsdp_tpu.core.branchbound import solve_misdp
+    from scipsdp_tpu.models.io import read_problem
+    from scipsdp_tpu.utils.config import BBSettings, Settings
+
+    prob = read_problem(os.path.join(INSTANCES, "example_small.dat-s"))
+    res = solve_misdp(prob, Settings(bb=BBSettings(warmstart=True,
+                                                   diving_freq=2)))
+    assert abs(res.objval - (-8.0)) < 1e-4

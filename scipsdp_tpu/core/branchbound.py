@@ -67,6 +67,7 @@ class BBStats:
     ncuts: int = 0
     sep_rounds: int = 0
     redcost_tightenings: int = 0
+    roundingprobinf: int = 0  # nodes cut off by the primal rounding problem
     wall_time: float = 0.0
     solve_time: float = 0.0   # device relaxation-solve time (sdpiclock role)
 
@@ -86,16 +87,21 @@ class BBResult:
 
 
 class _Node:
-    __slots__ = ("lb", "ub", "bound", "depth", "cuts", "requeues", "ysol")
+    __slots__ = ("lb", "ub", "bound", "depth", "cuts", "requeues", "ysol",
+                 "xsol")
 
-    def __init__(self, lb, ub, bound, depth, cuts=(), requeues=0, ysol=None):
+    def __init__(self, lb, ub, bound, depth, cuts=(), requeues=0, ysol=None,
+                 xsol=None):
         self.lb = lb
         self.ub = ub
         self.bound = bound
         self.depth = depth
         self.cuts = list(cuts)   # node-local cuts: [(g (m,), rhs), ...]
         self.requeues = requeues  # LP-mode re-separation attempts
-        self.ysol = ysol          # parent relaxation solution (warmstart)
+        self.ysol = ysol          # parent relaxation solution (warmstart;
+        #                           cons_savesdpsol.c role)
+        self.xsol = xsol          # parent primal matrices (warmstart
+        #                           project=4 rounding problem)
 
 
 def _apply_indicator_propagation(prob: MISDP, lb: np.ndarray, ub: np.ndarray):
@@ -148,6 +154,13 @@ class _Solver:
             self.full_iface = self.iface
         self.pool: List[Tuple[np.ndarray, float]] = []  # global cuts
         self._pool_keys = set()
+        # conflict constraints (generateConflictCons, relax_sdp.c:1424):
+        # globally valid rows used for bound propagation only (the
+        # reference adds them with propagate=TRUE, everything else FALSE)
+        self._conf_D: List[np.ndarray] = []
+        self._conf_lhs: List[float] = []
+        self._conf_keys = set()
+        self._conf_cache = None
         self.stats = BBStats()
         # LP-row violation evaluator for the rank-1 completion heuristic
         D = prob.lp.dense(prob.nvars)
@@ -176,7 +189,59 @@ class _Solver:
         """Activity-based tightening at node creation (cached row data);
         returns (lb, ub, conflict)."""
         from scipsdp_tpu.core.propagate import tighten_bounds
-        return tighten_bounds(self.prob, lb, ub, rounds=2)
+        extra = None
+        if self._conf_D:
+            if self._conf_cache is None or len(self._conf_cache[1]) != len(
+                    self._conf_lhs):
+                self._conf_cache = (
+                    np.stack(self._conf_D),
+                    np.array(self._conf_lhs),
+                    np.full(len(self._conf_lhs), INF),
+                )
+            extra = self._conf_cache
+        return tighten_bounds(self.prob, lb, ub, rounds=2, extra=extra)
+
+    def collect_conflicts(self, batch: List[_Node], res) -> None:
+        """Store conflict rows from this batch's certificates
+        (relax_sdp.c:4353 relaxExecSdp calls generateConflictCons after
+        both feasible and infeasible solves, per conflictfeas/-infeas)."""
+        bb = self.settings.bb
+        want = np.zeros(res.status.shape[0], dtype=bool)
+        if bb.conflictfeas:
+            want |= res.status == int(SolverResultStatus.OPTIMAL)
+        if bb.conflictinfeas:
+            want |= res.status == int(SolverResultStatus.INFEASIBLE)
+        want[len(batch):] = False
+        if not want.any() or len(self._conf_lhs) >= bb.max_conflict_rows:
+            return
+        G, lhs = self.iface.conflict_cuts(res)
+        for i in np.where(want)[0]:
+            g = G[i]
+            scale = np.abs(g).max()
+            if not np.isfinite(lhs[i]) or not np.all(np.isfinite(g)) \
+                    or scale < 1e-12:
+                continue
+            if bb.conflictcmir:
+                from scipsdp_tpu.ops.cmir import cmir_cut
+                mir = cmir_cut(g, lhs[i], self.prob.lb, self.prob.ub,
+                               self.prob.integral, res.y[i])
+                if mir is not None:
+                    g, li = mir
+                    scale = max(np.abs(g).max(), 1e-12)
+                    lhs_i = li
+                else:
+                    lhs_i = lhs[i]
+            else:
+                lhs_i = lhs[i]
+            key = (np.round(g / scale, 6).tobytes(),
+                   round(float(lhs_i / scale), 6))
+            if key in self._conf_keys:
+                continue
+            if len(self._conf_lhs) >= bb.max_conflict_rows:
+                break
+            self._conf_keys.add(key)
+            self._conf_D.append(g.astype(np.float64))
+            self._conf_lhs.append(float(lhs_i))
 
     # -- cuts ---------------------------------------------------------------
 
@@ -220,9 +285,17 @@ class _Solver:
     def _separate(self, y: np.ndarray, nreal: int) -> int:
         """Add violated eigenvector cuts at points y to the pool (LP mode).
 
-        One batched eigh yields every candidate cut (ops/cuts.py)."""
-        from scipsdp_tpu.ops.cuts import separate_eigenvector_cuts
+        One batched eigh yields every candidate cut (ops/cuts.py); each
+        kept cut is optionally strengthened by c-MIR
+        (produceCutFromEigenvector's CMIR path, cons_sdp.c:1039-1127) and
+        optionally complemented by disjoint-support sparse cuts
+        (addMultipleSparseCuts, cons_sdp.c:1340)."""
+        from scipsdp_tpu.ops.cmir import cmir_cut
+        from scipsdp_tpu.ops.cuts import (multiple_sparse_cuts,
+                                          separate_eigenvector_cuts)
 
+        cs = self.settings.cuts
+        has_int = bool(np.any(self.prob.integral))
         sep = separate_eigenvector_cuts(
             self.full_iface.data, y, tol=self.settings.bb.feastol)
         added = 0
@@ -230,13 +303,56 @@ class _Solver:
             coefs = np.asarray(sep.coefs[t])[:nreal]
             rhs = np.asarray(sep.rhs[t])[:nreal]
             valid = np.asarray(sep.valid[t])[:nreal]
+            if cs.separateonecut and valid.any():
+                lam = np.asarray(sep.lam[t])[:nreal]
+                best = np.argmin(np.where(valid, lam, np.inf), axis=2)
+                onemask = np.zeros_like(valid)
+                ii, kk = np.meshgrid(range(valid.shape[0]),
+                                     range(valid.shape[1]), indexing="ij")
+                onemask[ii, kk, best] = True
+                valid = valid & onemask
             for (i, k, e) in np.argwhere(valid):
                 g = coefs[i, k, e, : self.m]
-                if self._add_pool_cut(g, rhs[i, k, e]):
+                r = rhs[i, k, e]
+                if self._add_pool_cut(g, r):
                     added += 1
+                if cs.generatecmir and has_int:
+                    mir = cmir_cut(g, r, self.prob.lb, self.prob.ub,
+                                   self.prob.integral, y[i, : self.m])
+                    if mir is not None and self._add_pool_cut(*mir):
+                        added += 1
+            if cs.multiplesparsecuts and valid.any():
+                A = np.asarray(self.full_iface.data.A[t])
+                C = np.asarray(self.full_iface.data.C[t])
+                dimmask = np.asarray(self.full_iface.data.dimmask[t])
+                if cs.sparsifytargetsize > 0:
+                    size = cs.sparsifytargetsize
+                else:
+                    size = max(10, int(cs.sparsifyfactor * self.m))
+                yx = np.concatenate([y[:, : self.m],
+                                     np.zeros((y.shape[0], 1))], axis=1)
+                for (i, k) in {(i, k) for (i, k, _) in np.argwhere(valid)}:
+                    ns = int(dimmask[k].sum())
+                    if size > ns:
+                        continue
+                    Zk = np.einsum("jab,j->ab", A[k], yx[i])[:ns, :ns] \
+                        - C[k][:ns, :ns]
+                    for v in multiple_sparse_cuts(
+                            Zk, size, cs.maxnsparsecuts or -1,
+                            tol=self.settings.bb.feastol):
+                        gj = np.einsum("a,jab,b->j", v, A[k, : self.m,
+                                                         :ns, :ns], v)
+                        rj = float(v @ C[k][:ns, :ns] @ v)
+                        if self._add_pool_cut(gj, rj):
+                            added += 1
         return added
 
     # -- relaxation solving -------------------------------------------------
+
+    def node_X(self, res, i: int) -> List[np.ndarray]:
+        """Per-original-block primal matrices of batch row i."""
+        return [np.asarray(res.X[t][i, s])
+                for (t, s) in self.iface.data.block_of]
 
     def solve_relaxations(self, batch: List[_Node], B: int,
                           lb: np.ndarray, ub: np.ndarray):
@@ -247,7 +363,8 @@ class _Solver:
         seed = (None if self.lp_mode
                 else self.settings.seed + 7919 * self.stats.nodes)
         warm = None
-        if self.settings.bb.warmstart:
+        bb = self.settings.bb
+        if bb.warmstart:
             wy = np.zeros((lb.shape[0], self.m))
             wmask = np.zeros(lb.shape[0], dtype=bool)
             for i, node in enumerate(batch):
@@ -418,6 +535,35 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         if not batch:
             break
 
+        if bb.warmstart and bb.warmstartproject == 4 and not sol.lp_mode:
+            # warmstartproject = 4: solve the rounding problems before the
+            # SDP solves (determineWarmStartInformation, relax_sdp.c:3051);
+            # the primal rounding LP can prune the node outright
+            from scipsdp_tpu.core.probing import rounding_problem
+            kept = []
+            for node in batch:
+                if node.ysol is None or node.xsol is None:
+                    kept.append(node)
+                    continue
+                action, wy = rounding_problem(
+                    sol.prob, sol.dense, settings, node.xsol, node.ysol,
+                    node.lb, node.ub,
+                    cutoff=(incumbent_val if np.isfinite(incumbent_val)
+                            else INF),
+                    feastol=feastol)
+                if action == "cutoff":
+                    stats.roundingprobinf += 1
+                    stats.nodes += 1
+                    continue
+                if action == "ok" and not bb.warmstartroundonlyinf:
+                    node.ysol = wy
+                else:
+                    node.ysol = None   # coldstart (roundonlyinf / failure)
+                kept.append(node)
+            batch = kept
+            if not batch:
+                continue
+
         B = bb.batch_size
         lb = np.empty((B, m))
         ub = np.empty((B, m))
@@ -431,6 +577,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
 
         res = sol.solve_relaxations(batch, B, lb, ub)
         stats.nodes += len(batch)
+        if bb.conflictconss and not sol.lp_mode:
+            sol.collect_conflicts(batch, res)
 
         # batched fracdiving (heur_sdpfracdiving.c): every diving_freq
         # batches, dive all nodes of the batch one probing line each
@@ -776,7 +924,11 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                         (prio, next(counter),
                          _Node(clb, cub, bound, node.depth + 1, ccuts,
                                ysol=(y.copy() if y is not None
-                                     and bb.warmstart else None))),
+                                     and bb.warmstart else None),
+                               xsol=(sol.node_X(res, i)
+                                     if bb.warmstart
+                                     and bb.warmstartproject == 4
+                                     and y is not None else None))),
                     )
 
         if (checkpoint is not None

@@ -11,10 +11,39 @@ before solving (consPresolSdp:7314):
 * ``two_minor_lin_rows``— eigenvector cuts with v = e_s - e_t:
                           A(y)_ss + A(y)_tt - 2 A(y)_st >= 0
                           (addTwoMinorLinConstraints, cons_sdp.c:2642;
-                          default off like DEFAULT_TWOMINORLINCONSS).
+                          default off like DEFAULT_TWOMINORLINCONSS);
+* ``diag_zero_impl_rows``— implications of structurally zero diagonals:
+                          X_kl != 0 forces X_kk > 0, so when (A_0)_kl != 0
+                          is constant and the diagonal (k,k) is only covered
+                          by nonnegative integer variables, the cut
+                          sum_{i in I: (A_i)_kk > 0} y_i >= 1 is valid
+                          (diagZeroImpl, cons_sdp.c:2376-2390;
+                          default ON like DEFAULT_DIAGZEROIMPLCUTS);
+* ``two_minor_prod_rows``— sum_i (A_i)_st y_i >= (A_0)_st
+                          - sqrt((A_0)_ss (A_0)_tt)  when
+                          (A_i)_ss = (A_i)_tt = 0 for all i and
+                          (A_0)_ss (A_0)_tt > 0 (addTwoMinorProdConstraints,
+                          cons_sdp.c:3039-3045, Gally diss. p.150;
+                          default off like DEFAULT_TWOMINORPRODCONSS);
+* ``two_minor_varbound_rows`` — from |X_st| <= sqrt(X_ss X_tt) and interval
+                          upper bounds U_pq on the affine entries A(y)_pq
+                          - (A_0)_pq:  2 U_st A(y)_st - U_tt A(y)_ss
+                          <= U_st^2 (+ the constant parts), and the (s<->t)
+                          twin (addTwoMinorVarBounds, cons_sdp.c:3196-3205;
+                          default ON like DEFAULT_TWOMINORVARBOUNDS);
+* ``tighten_matrices``  — when every coefficient matrix of a block is PSD
+                          and all lower bounds are nonnegative, a binary
+                          variable's matrix A_i can be scaled down to
+                          factor*A_i with factor = min{y : y A_i - A_0 >= 0}
+                          without changing the feasible set
+                          (tightenMatrices, cons_sdp.c:1851-1960;
+                          default off like DEFAULT_TIGHTENMATRICES).
 
-All produce valid linear rows implied by the PSD constraints, so they can
-only tighten LP-mode relaxations and propagation.
+All produce valid linear rows implied by the PSD constraints.  Following
+the reference's ``presollinconssparam = 0`` default ("propagate, if solving
+LPs also separate", cons_sdp.c:146), generated rows go to ``MISDP.proprows``
+(bound propagation only) in SDP mode and into the LP relaxation rows in LP
+outer-approximation mode.
 """
 
 from __future__ import annotations
@@ -86,11 +115,170 @@ def two_minor_lin_rows(prob: MISDP) -> List[tuple]:
     return rows
 
 
+def diag_zero_impl_rows(prob: MISDP) -> List[tuple]:
+    """diagZeroImpl cuts  sum_{i in I: (A_i)_kk > 0} y_i >= 1
+    (cons_sdp.c:2376-2390).  Conditions per endpoint k of a constant
+    nonzero off-diagonal (A_0)_kl: (A_0)_kk = 0, no variable covers (k,l)
+    or contributes a continuous term to (k,k), and every integer variable
+    has a nonnegative lower bound."""
+    rows = []
+    eps = 1e-12
+    for blk in prob.blocks:
+        A = blk.dense_coeff(prob.nvars)      # (m, n, n)
+        C = blk.dense_const()
+        vars_in = np.where(np.abs(A).reshape(prob.nvars, -1).sum(1) > eps)[0]
+        # early termination: integral variable with negative lower bound
+        if np.any(prob.integral[vars_in]
+                  & (prob.lb[vars_in] < -eps)):
+            continue
+        covered = np.abs(A) > eps            # (m, n, n) variable coverage
+        anyvar = covered.any(axis=0)         # (n, n)
+        cont = ~prob.integral
+        diag_cont = covered[cont][:, range(blk.size), range(blk.size)].any(0) \
+            if cont.any() else np.zeros(blk.size, dtype=bool)
+        diag_const = np.abs(np.diag(C)) > eps
+        seen = set()
+        for s in range(blk.size):
+            for t in range(s):
+                if abs(C[s, t]) <= eps or anyvar[s, t]:
+                    continue                 # entry (s,t) not constant-nonzero
+                for k in (s, t):
+                    if k in seen or diag_const[k] or diag_cont[k]:
+                        continue
+                    ivars = [int(v) for v in vars_in
+                             if prob.integral[v] and A[v, k, k] > eps]
+                    if ivars:
+                        seen.add(k)
+                        rows.append((ivars, [1.0] * len(ivars), 1.0, INF))
+    return rows
+
+
+def two_minor_prod_rows(prob: MISDP) -> List[tuple]:
+    """addTwoMinorProdConstraints (cons_sdp.c:3039-3045):
+    X_st >= -sqrt(X_ss X_tt) with X_ss = -(A_0)_ss constant gives
+    sum_i (A_i)_st y_i >= (A_0)_st - sqrt((A_0)_ss (A_0)_tt)."""
+    rows = []
+    eps = 1e-12
+    for blk in prob.blocks:
+        A = blk.dense_coeff(prob.nvars)
+        C = blk.dense_const()
+        diag_var = np.abs(A[:, range(blk.size), range(blk.size)]).max(0) \
+            if prob.nvars else np.zeros(blk.size)
+        for s in range(blk.size):
+            for t in range(s):
+                if diag_var[s] > eps or diag_var[t] > eps:
+                    continue
+                if C[s, s] * C[t, t] <= eps:
+                    continue
+                coefs = A[:, s, t]
+                nz = np.nonzero(np.abs(coefs) > eps)[0]
+                if len(nz) == 0:
+                    continue
+                lhs = float(C[s, t] - np.sqrt(C[s, s] * C[t, t]))
+                rows.append((list(nz), list(coefs[nz]), lhs, INF))
+    return rows
+
+
+def _entry_interval_max(A_entry: np.ndarray, c0: float,
+                        lb: np.ndarray, ub: np.ndarray):
+    """Interval maximum of  sum_i a_i y_i - c0  over the box, or +inf."""
+    hi = -c0
+    for i in np.nonzero(np.abs(A_entry) > 1e-12)[0]:
+        b = ub[i] if A_entry[i] > 0 else lb[i]
+        if abs(b) >= INF / 2:
+            return np.inf
+        hi += A_entry[i] * b
+    return hi
+
+
+def two_minor_varbound_rows(prob: MISDP) -> List[tuple]:
+    """addTwoMinorVarBounds (cons_sdp.c:3196-3205): with U_pq the interval
+    maxima of the affine entries X_pq = A(y)_pq - (A_0)_pq, PSD-ness implies
+    X_st^2 <= X_ss X_tt <= U_ss X_tt, linearized at the bound as
+
+        2 U_st X_st - U_tt X_ss <= U_st^2    (and the s<->t twin).
+
+    In variable terms:  sum_i (2 U_st (A_i)_st - U_tt (A_i)_ss) y_i
+    <= U_st^2 + 2 U_st (A_0)_st - U_tt (A_0)_ss."""
+    rows = []
+    eps = 1e-9
+    for blk in prob.blocks:
+        A = blk.dense_coeff(prob.nvars)
+        C = blk.dense_const()
+        for s in range(1, blk.size):
+            u_ss = _entry_interval_max(A[:, s, s], C[s, s], prob.lb, prob.ub)
+            for t in range(s):
+                u_st = _entry_interval_max(A[:, s, t], C[s, t],
+                                           prob.lb, prob.ub)
+                if not np.isfinite(u_st) or abs(u_st) <= eps:
+                    continue
+                u_tt = _entry_interval_max(A[:, t, t], C[t, t],
+                                           prob.lb, prob.ub)
+                for (ud, d1, d2) in ((u_tt, s, t), (u_ss, t, s)):
+                    # row uses the diagonal (d1,d1): 2 u_st X_st - ud X_d1d1
+                    if not np.isfinite(ud):
+                        continue
+                    coefs = 2.0 * u_st * A[:, s, t] - ud * A[:, d1, d1]
+                    rhs = (u_st * u_st + 2.0 * u_st * C[s, t]
+                           - ud * C[d1, d1])
+                    nz = np.nonzero(np.abs(coefs) > eps)[0]
+                    if len(nz):
+                        rows.append((list(nz), list(coefs[nz]), -INF,
+                                     float(rhs)))
+    return rows
+
+
+def tighten_matrices(prob: MISDP, feastol: float = 1e-6) -> MISDP:
+    """tightenMatrices (cons_sdp.c:1851-1960): in a block where every
+    coefficient matrix is PSD and all variable lower bounds are >= 0, a
+    binary variable's matrix can be replaced by factor * A_i with
+    factor = min{ y in [0,1] : y A_i - A_0 >= 0 } < 1 without changing
+    the feasible set (other terms are PSD, so y_i = 1 stays feasible and
+    the constraint only tightens)."""
+    from scipsdp_tpu.ops.onevar import solve_one_var_sdp
+
+    eps = 1e-12
+    new_blocks = []
+    changed = False
+    for blk in prob.blocks:
+        A = blk.dense_coeff(prob.nvars)
+        C = blk.dense_const()
+        vars_in = np.where(np.abs(A).reshape(prob.nvars, -1).sum(1) > eps)[0]
+        if len(vars_in) == 0 or np.any(prob.lb[vars_in] < -eps):
+            new_blocks.append(blk)
+            continue
+        if not all(np.linalg.eigvalsh(A[v])[0] >= -1e-9 for v in vars_in):
+            new_blocks.append(blk)
+            continue
+        scale = np.ones(prob.nvars)
+        for v in vars_in:
+            if not (prob.integral[v] and prob.lb[v] == 0.0
+                    and prob.ub[v] == 1.0):
+                continue
+            st, factor = solve_one_var_sdp(A[v], C, 1.0, 0.0, 1.0,
+                                           feastol=feastol)
+            # the bisection accepts lambda_min >= -feastol; nudge the factor
+            # up so the tightened matrix stays PSD-feasible at y = factor
+            if st == "optimal" and factor + feastol < 1.0 - feastol:
+                scale[v] = min(1.0, max(factor + feastol, 0.0))
+        if np.any(scale < 1.0):
+            changed = True
+            new_blocks.append(dataclasses.replace(
+                blk, val=blk.val * scale[blk.var]))
+        else:
+            new_blocks.append(blk)
+    if not changed:
+        return prob
+    return dataclasses.replace(prob, blocks=new_blocks)
+
+
 def presolve_problem(prob: MISDP, settings) -> MISDP:
     """Apply the enabled problem-level transformations."""
     pres = settings.presolve
     if pres.move_1x1_blocks:
         prob = move_1x1_blocks(prob)
+    if pres.tightenmatrices:
+        prob = tighten_matrices(prob, settings.bb.feastol)
     extra = []
     if pres.diaggezerocuts:
         extra += diag_ge_zero_rows(prob)
@@ -99,6 +287,22 @@ def presolve_problem(prob: MISDP, settings) -> MISDP:
     if getattr(settings, "use_symmetry", False):
         from scipsdp_tpu.core.symmetry import symmetry_breaking_rows
         extra += symmetry_breaking_rows(prob)
+    # presollinconssparam = 0 rows: propagate only (SDP mode) / relax (LP)
+    prop_extra = []
+    if pres.diagzeroimplcuts:
+        prop_extra += diag_zero_impl_rows(prob)
+    if pres.twominorprodconss:
+        prop_extra += two_minor_prod_rows(prob)
+    if pres.twominorvarbounds:
+        prop_extra += two_minor_varbound_rows(prob)
+    if pres.presollinconssparam == 1 or settings.solve_sdps == 0:
+        extra += prop_extra
+        prop_extra = []
     if extra:
         prob = dataclasses.replace(prob, lp=_append_rows(prob.lp, extra))
+    if prop_extra:
+        base = (prob.proprows if prob.proprows is not None
+                else LinearConstraints.empty())
+        prob = dataclasses.replace(prob,
+                                   proprows=_append_rows(base, prop_extra))
     return prob

@@ -17,7 +17,13 @@ re-solves relaxations under temporary bound changes):
 * ``analytic_center``— SCIPrelaxSdpComputeAnalyticCenters
                        (relax_sdp.c:5589): a central feasible point from a
                        zero-objective solve (used by warmstartiptype=2 and
-                       prop_companalcent.c).
+                       prop_companalcent.c);
+* ``rounding_problem``— solvePrimalRoundingProblem (relax_sdp.c:1551-2400,
+                       warmstartproject = 4): restrict the primal/dual SDPs
+                       to the parent solution's eigenbases, solve the
+                       resulting LPs; the primal rounding LP can prove node
+                       infeasibility or cutoff, the dual rounding LP yields
+                       a warmstart point.
 """
 
 from __future__ import annotations
@@ -231,6 +237,156 @@ def inner_lp_point(prob, settings, y_ref: Optional[np.ndarray] = None):
                              int(SolverResultStatus.PRESOLVED_OPTIMAL)):
         return None, False
     return res.y[0][:m], True
+
+
+def _lp_as_misdp(nvars, obj, lb, ub, rows, name):
+    """Build a block-free MISDP (a pure LP) for the shared batched IPM."""
+    from scipsdp_tpu.models.problem import LinearConstraints, MISDP
+
+    return MISDP(nvars=nvars, obj=np.asarray(obj, float),
+                 lb=np.asarray(lb, float), ub=np.asarray(ub, float),
+                 integral=np.zeros(nvars, bool), blocks=[],
+                 lp=LinearConstraints.from_rows(rows), name=name)
+
+
+def rounding_problem(prob, dense, settings, parent_X, parent_y,
+                     lb: np.ndarray, ub: np.ndarray,
+                     cutoff: float = INF, feastol: float = 1e-6):
+    """Primal/dual rounding problems of warmstartproject = 4
+    (solvePrimalRoundingProblem, relax_sdp.c:1551-2400).
+
+    ``parent_X``: list of per-block primal matrices of the parent node;
+    ``parent_y``: parent dual solution (defines Z(y) eigenbases).  The
+    *primal rounding LP* optimizes over primal matrices restricted to
+    X = V diag(lambda) V^T (V from the parent X eigendecomposition),
+    lambda >= 0; by inclusion its optimum bounds the primal SDP from
+    below, so
+
+      * an unbounded primal rounding LP proves the node's dual (our
+        relaxation) infeasible  -> "cutoff" (roundingprobinf stat);
+      * optimum >= cutoff bound -> "cutoff" by weak duality.
+
+    Otherwise the *dual rounding LP* (y with Z(y) restricted to the
+    parent Z eigenbasis, eigenvalue coefficients >= 0) is solved; its
+    optimal y is the warmstart point.  Returns (action, warm_y) with
+    action in {"cutoff", "failed", "ok"}.
+    """
+    from scipsdp_tpu.models.problem import densify
+    from scipsdp_tpu.utils.config import Settings
+
+    m = prob.nvars
+    blocks = prob.blocks
+    G = dense.G
+    h = dense.h
+    p = G.shape[0]
+    b = prob.obj
+
+    # eigenbases of the parent primal matrices
+    VX = []
+    for k, blk in enumerate(blocks):
+        Xk = np.asarray(parent_X[k])[: blk.size, : blk.size]
+        _, V = np.linalg.eigh(0.5 * (Xk + Xk.T))
+        VX.append(V)
+
+    # ---- primal rounding LP -----------------------------------------------
+    # variables: lam (sum n_k) >= 0; xl (p) >= 0; w (lb mult) >= 0;
+    # v (ub mult) >= 0.  equality per original variable i:
+    #   sum_e lam_e v_e^T A_i v_e + sum_r G_ri xl_r + w_i - v_i = b_i
+    # objective (max -> min of negative):
+    #   sum_e lam_e v_e^T A_0 v_e + h.xl + lb.w - ub.v
+    fin_lb = lb > -INF / 2
+    fin_ub = ub < INF / 2
+    nlam = sum(blk.size for blk in blocks)
+    nv = nlam + p + int(fin_lb.sum()) + int(fin_ub.sum())
+    coef = np.zeros((m, nv))
+    objp = np.zeros(nv)
+    pos = 0
+    for k, blk in enumerate(blocks):
+        A = blk.dense_coeff(m)
+        C = blk.dense_const()
+        V = VX[k]
+        coef[:, pos:pos + blk.size] = np.einsum("ae,jab,be->je", V, A, V)
+        objp[pos:pos + blk.size] = np.einsum("ae,ab,be->e", V, C, V)
+        pos += blk.size
+    if p:
+        coef[:, pos:pos + p] = G[:, :m].T
+        objp[pos:pos + p] = h
+        pos += p
+    for i in np.where(fin_lb)[0]:
+        coef[i, pos] = 1.0
+        objp[pos] = lb[i]
+        pos += 1
+    for i in np.where(fin_ub)[0]:
+        coef[i, pos] = -1.0
+        objp[pos] = -ub[i]
+        pos += 1
+    rows = []
+    for i in range(m):
+        nz = np.nonzero(np.abs(coef[i]) > 1e-14)[0]
+        rows.append((list(nz), list(coef[i, nz]), float(b[i]), float(b[i])))
+    plp = _lp_as_misdp(nv, -objp, np.zeros(nv), np.full(nv, INF), rows,
+                       prob.name + "_primalround")
+    iface = SDPInterface(densify(plp), Settings(ipm=settings.ipm))
+    res = iface.solve_batch(plp.lb[None], plp.ub[None])
+    st = int(res.status[0])
+    if st == int(SolverResultStatus.UNBOUNDED):
+        return "cutoff", None
+    if st in (int(SolverResultStatus.OPTIMAL),
+              int(SolverResultStatus.PRESOLVED_OPTIMAL)):
+        primalroundobj = -float(res.objval[0])
+        if primalroundobj >= cutoff - 1e-9:
+            return "cutoff", None
+    elif st in (int(SolverResultStatus.INFEASIBLE),
+                int(SolverResultStatus.PRESOLVED_INFEASIBLE)):
+        # restricted primal infeasible: no information about the original
+        return "failed", None
+    else:
+        return "failed", None
+
+    # ---- dual rounding LP --------------------------------------------------
+    # variables: y (m) and mu (sum n_k) >= 0 with, per block k and lower-
+    # triangular entry (a, c):
+    #   sum_i (A_i)_ac y_i - sum_e mu_e (u_e u_e^T)_ac = (A_0)_ac
+    # where u_e are the eigenvectors of the parent's Z(y).
+    nmu = nlam
+    rows = []
+    pos = m
+    for k, blk in enumerate(blocks):
+        A = blk.dense_coeff(m)
+        C = blk.dense_const()
+        Zk = np.einsum("j,jab->ab", parent_y[:m], A) - C
+        _, U = np.linalg.eigh(0.5 * (Zk + Zk.T))
+        outer = np.einsum("ae,ce->eac", U, U)      # (n, n, n): u_e u_e^T
+        for a in range(blk.size):
+            for c in range(a + 1):
+                gi = list(np.nonzero(np.abs(A[:, a, c]) > 1e-14)[0])
+                gv = list(A[gi, a, c]) if gi else []
+                mi = list(range(pos, pos + blk.size))
+                mv = list(-outer[:, a, c])
+                rhs = float(C[a, c])
+                rows.append((gi + mi, gv + mv, rhs, rhs))
+        pos += blk.size
+    # original LP rows on y
+    for r in range(p):
+        nz = np.nonzero(np.abs(G[r, :m]) > 1e-14)[0]
+        rows.append((list(nz), list(G[r, nz]), float(h[r]), INF))
+    dlb = np.concatenate([lb, np.zeros(nmu)])
+    dub = np.concatenate([ub, np.full(nmu, INF)])
+    dobj = np.concatenate([b, np.zeros(nmu)])
+    dlp = _lp_as_misdp(m + nmu, dobj, dlb, dub, rows,
+                       prob.name + "_dualround")
+    iface2 = SDPInterface(densify(dlp), Settings(ipm=settings.ipm))
+    res2 = iface2.solve_batch(dlp.lb[None], dlp.ub[None])
+    st2 = int(res2.status[0])
+    if st2 in (int(SolverResultStatus.INFEASIBLE),
+               int(SolverResultStatus.PRESOLVED_INFEASIBLE)):
+        # Z restricted to the parent eigenbasis is a *restriction* of the
+        # dual: infeasibility here does not prove node infeasibility
+        return "failed", None
+    if st2 not in (int(SolverResultStatus.OPTIMAL),
+                   int(SolverResultStatus.PRESOLVED_OPTIMAL)):
+        return "failed", None
+    return "ok", res2.y[0][:m]
 
 
 def analytic_center(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray):

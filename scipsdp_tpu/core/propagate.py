@@ -31,14 +31,27 @@ from scipsdp_tpu.models.problem import INF, MISDP
 
 
 def tighten_bounds(prob: MISDP, lb: np.ndarray, ub: np.ndarray,
-                   rounds: int = 5, feastol: float = 1e-9
-                   ) -> Tuple[np.ndarray, np.ndarray, bool]:
-    """Return (lb', ub', conflict). Does not modify inputs."""
+                   rounds: int = 5, feastol: float = 1e-9,
+                   extra=None) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """Return (lb', ub', conflict). Does not modify inputs.
+
+    ``extra``: optional (D, lhs, rhs) additional rows — e.g. conflict
+    constraints (generateConflictCons, relax_sdp.c:1424), which the
+    reference adds as propagation-only linear constraints."""
     lb = lb.copy()
     ub = ub.copy()
     D = prob.lp.dense(prob.nvars)       # (p, m)
     lhs = prob.lp.lhs
     rhs = prob.lp.rhs
+    if prob.proprows is not None and prob.proprows.nrows:
+        # propagation-only presolve rows (presollinconssparam=0 semantics)
+        D = np.concatenate([D, prob.proprows.dense(prob.nvars)], axis=0)
+        lhs = np.concatenate([lhs, prob.proprows.lhs])
+        rhs = np.concatenate([rhs, prob.proprows.rhs])
+    if extra is not None and len(extra[1]):
+        D = np.concatenate([D, np.asarray(extra[0])], axis=0)
+        lhs = np.concatenate([lhs, np.asarray(extra[1])])
+        rhs = np.concatenate([rhs, np.asarray(extra[2])])
     if D.shape[0] == 0:
         return lb, ub, False
     pos = np.maximum(D, 0.0)

@@ -215,6 +215,46 @@ class SDPInterface:
         yr = jnp.where(use1[:, None], y1c, y0c)
         return out, yr, (f0 | f1), jnp.where(use1, v1, v0)
 
+    def conflict_cuts(self, res: "BatchSolveResult"):
+        """Dual-aggregation cuts from the primal certificates
+        (computeConflictCut, relax_sdp.c:954-1410): for any X_b >= 0 and
+        LP multipliers xl >= 0,
+
+            sum_j (sum_b tr(A_j^b X_b) + xl @ G_j) y_j
+                >= sum_b tr(A_0^b X_b) + xl @ h
+
+        holds for every point feasible w.r.t. the SDP blocks and LP rows —
+        globally valid.  With the Farkas certificate of an infeasible node
+        the row conflicts with that node's box; with a feasible node's
+        optimal primal it is a supporting hyperplane.  Returns
+        (G (B, m), lhs (B,))."""
+        B = res.y.shape[0]
+        g = np.zeros((B, self.m))
+        lhs = np.zeros(B)
+        if not hasattr(self, "_np_data"):
+            self._np_data = (
+                [np.asarray(a) for a in self.data.A],
+                [np.asarray(c) for c in self.data.C],
+                [np.asarray(d) for d in self.data.dimmask],
+                np.asarray(self.data.G),
+                np.asarray(self.data.h),
+            )
+        As, Cs, dms, G, h = self._np_data
+        for t, Xt in enumerate(res.X):
+            outer = dms[t][:, :, None] & dms[t][:, None, :]
+            Xm = np.where(outer[None], np.asarray(Xt), 0.0)
+            g += np.einsum("xkab,kjab->xj", Xm, As[t][:, : self.m])
+            lhs += np.einsum("xkab,kab->x", Xm, Cs[t])
+        if G.shape[0]:
+            # only the static LP rows: per-node cut-row multipliers (res.xl
+            # columns beyond p) are excluded — node-local cuts (e.g. rank-1
+            # secants) are not globally valid, and validity of the
+            # aggregation does not require using every multiplier
+            xlp = np.maximum(res.xl[:, : G.shape[0]], 0.0)
+            g += xlp @ G[:, : self.m]
+            lhs += xlp @ h
+        return g, lhs
+
     # -- main entry --------------------------------------------------------
 
     def solve_batch(self, lb: np.ndarray, ub: np.ndarray,
@@ -311,6 +351,15 @@ class SDPInterface:
                 & (rstar > infeas_margin)
             )
             status[proved_infeas] = int(SolverResultStatus.INFEASIBLE)
+            if proved_infeas.any():
+                # keep the probe's primal certificate (X, lp multipliers):
+                # it is the Farkas-style aggregation witness the conflict
+                # cut is built from (computeConflictCut, relax_sdp.c:954)
+                for t in range(len(X)):
+                    X[t][proved_infeas] = np.asarray(outp.X[t])[proved_infeas]
+                xl[proved_infeas] = np.asarray(outp.xl)[proved_infeas]
+                xlb[proved_infeas] = np.asarray(outp.xlb)[proved_infeas, :m]
+                xub[proved_infeas] = np.asarray(outp.xub)[proved_infeas, :m]
             failed = status == int(SolverResultStatus.FAILED)
 
         if failed.any():

@@ -172,6 +172,12 @@ class MISDP:
     blocks: List[SDPBlock]
     lp: LinearConstraints
     indicators: List[IndicatorLink] = dataclasses.field(default_factory=list)
+    # propagation-only rows: linear consequences of the SDP blocks added by
+    # presolve with the reference's presollinconssparam=0 semantics
+    # (cons_sdp.c:146 — "propagate, if solving LPs also separate"): they
+    # participate in bound propagation but are NOT part of the SDP-mode
+    # relaxation; LP mode folds them into the LP rows
+    proprows: Optional[LinearConstraints] = None
     name: str = "misdp"
     varnames: Optional[List[str]] = None
     # objsense/objscale/objoffset map internal min-form values back to the

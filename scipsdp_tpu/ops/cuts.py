@@ -98,3 +98,42 @@ def sparsify_cut_tpower(Zk: jnp.ndarray, sparsity: int, iters: int = 20):
     v0 = trunc(jnp.ones((n,), Zk.dtype))
     v = jax.lax.fori_loop(0, iters, body, v0)
     return v
+
+
+def multiple_sparse_cuts(Zk, sparsity: int, maxncuts: int = -1,
+                         tol: float = 1e-6, iters: int = 50):
+    """Disjoint-support sparse eigenvector directions of one block
+    (addMultipleSparseCuts, cons_sdp.c:1340-1610): repeatedly find an
+    s-sparse approximate most-negative eigenvector by the truncated power
+    method on the shifted matrix, *exactly* recompute the smallest
+    eigenpair of the support submatrix (RECOMPUTESPARSEEV role), emit the
+    lifted vector when its Rayleigh quotient is < -tol, then remove the
+    support rows/columns and repeat until no negative direction remains.
+
+    Host-side helper (cut generation runs on host in LP mode); returns a
+    list of dense n-vectors with disjoint supports.
+    """
+    import numpy as np
+
+    Z = np.asarray(Zk, dtype=np.float64).copy()
+    n = Z.shape[-1]
+    alive = np.ones(n, dtype=bool)
+    out = []
+    while (maxncuts < 0 or len(out) < maxncuts) and alive.sum() >= 1:
+        idx = np.where(alive)[0]
+        sub = Z[np.ix_(idx, idx)]
+        s = min(sparsity, len(idx))
+        v = np.asarray(sparsify_cut_tpower(jnp.asarray(sub), s, iters))
+        supp = np.where(np.abs(v) > 1e-12)[0]
+        if supp.size == 0:
+            break
+        # exact smallest eigenpair of the support submatrix
+        ssub = sub[np.ix_(supp, supp)]
+        lam, V = np.linalg.eigh(ssub)
+        if lam[0] >= -tol:
+            break
+        lifted = np.zeros(n)
+        lifted[idx[supp]] = V[:, 0]
+        out.append(lifted)
+        alive[idx[supp]] = False
+    return out

@@ -36,6 +36,21 @@ def make_mesh(n_devices: Optional[int] = None,
     """
     devices = jax.devices()
     n = len(devices) if n_devices is None else n_devices
+    if len(devices) < n:
+        # the default platform cannot offer n devices (e.g. a single-chip
+        # TPU tunnel): fall back to the virtual CPU device pool
+        # (--xla_force_host_platform_device_count), the multi-chip dry-run
+        # validation path
+        try:
+            cpus = jax.devices("cpu")
+        except RuntimeError:
+            cpus = []
+        if len(cpus) >= n:
+            devices = cpus
+    if len(devices) < n:
+        raise ValueError(
+            f"mesh needs {n} devices, have {len(devices)}; set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n} for a virtual mesh")
     devices = np.asarray(devices[:n])
     if len(axes) == 1:
         return Mesh(devices.reshape(n), axes)

@@ -91,7 +91,20 @@ class BBSettings:
                                    # N batches (0 = off)
     obbt_at_root: bool = False     # prop_sdpobbt root tightening
     warmstart: bool = False        # relaxing/SDP/warmstart (DEFAULT FALSE)
+    # warmstart recipe knobs (relax_sdp.c:77-86 defaults): project 2 =
+    # clip the parent point into the child bounds (the interior-margin
+    # projection in ops/ipm.py); 4 = solve the primal/dual rounding
+    # problems first (core/probing.py::rounding_problem)
+    warmstartproject: int = 2      # DEFAULT_WARMSTARTPROJECT
+    warmstartroundonlyinf: bool = False  # DEFAULT_WARMSTARTROUNDONLYINF
     objlimit_pruning: bool = True
+    # conflict constraints from relaxation certificates (relax_sdp.c:100-105
+    # defaults): globally valid dual-aggregation rows used for propagation
+    conflictconss: bool = True     # DEFAULT_CONFLICTCONSS
+    conflictfeas: bool = True      # DEFAULT_CONFLICTFEAS (feasible nodes)
+    conflictinfeas: bool = True    # DEFAULT_CONFLICTINFEAS (Farkas rows)
+    conflictcmir: bool = False     # DEFAULT_CONFLICTCMIR
+    max_conflict_rows: int = 256   # rolling cap on stored conflict rows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,6 +115,29 @@ class PresolveSettings:
     diaggezerocuts: bool = False   # DEFAULT_DIAGGEZEROCUTS
     twominorlinconss: bool = False  # DEFAULT_TWOMINORLINCONSS
     move_1x1_blocks: bool = True    # move_1x1_blocks_to_lp
+    diagzeroimplcuts: bool = True   # DEFAULT_DIAGZEROIMPLCUTS
+    twominorprodconss: bool = False  # DEFAULT_TWOMINORPRODCONSS
+    twominorvarbounds: bool = True  # DEFAULT_TWOMINORVARBOUNDS
+    tightenmatrices: bool = False   # DEFAULT_TIGHTENMATRICES
+    # 0: generated linear rows only propagate (LP mode also separates);
+    # 1: rows join the relaxation (DEFAULT_PRESOLLINCONSSPARAM = 0)
+    presollinconssparam: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class CutSettings:
+    """Eigenvector-cut separation switches (constraints/SDP/* params,
+    cons_sdp.c:133-145 — defaults mirror the reference)."""
+
+    generatecmir: bool = True        # DEFAULT_GENERATECMIR: strengthen
+                                     # every eigenvector cut by c-MIR
+    separateonecut: bool = False     # DEFAULT_SEPARATEONECUT: only the
+                                     # most negative eigenvalue per block
+    multiplesparsecuts: bool = False  # DEFAULT_MULTIPLESPARSECUTS
+    maxnsparsecuts: int = 0          # DEFAULT_MAXNSPARSECUTS (-1: no limit)
+    sparsifyfactor: float = 0.1      # DEFAULT_SPARSIFYFACTOR (target size
+                                     # relative to number of variables)
+    sparsifytargetsize: int = -1     # DEFAULT_SPARSIFYTARGETSIZE
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,6 +146,7 @@ class Settings:
     bb: BBSettings = dataclasses.field(default_factory=BBSettings)
     presolve: PresolveSettings = dataclasses.field(
         default_factory=PresolveSettings)
+    cuts: CutSettings = dataclasses.field(default_factory=CutSettings)
     # misc/solvesdps master switch: 1 = nonlinear B&B with SDP relaxations
     # (default), 0 = LP outer approximation with eigenvector cuts
     # (relax_sdp.c:5428, param-change callback :5302-5373)

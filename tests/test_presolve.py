@@ -81,3 +81,117 @@ def test_settings_file_loader():
     assert s.solve_sdps == 0
     s2 = load_settings_file("/root/reference/settings/scip-1.set")
     assert s2.ipm.gaptol == 1e-5
+
+
+def test_diag_zero_impl_rows():
+    from scipsdp_tpu.core.presolve_sdp import diag_zero_impl_rows
+    # X = [[A(y)_00, 1], [1, 2]] with (A_0)_00 = 0, entry (1,0) constant
+    # -1 (so X_10 = 1), diagonal (0,0) covered only by integer y0, y1:
+    # PSD needs X_00 > 0  =>  y0 + y1 >= 1
+    blk = SDPBlock(size=2, var=[0, 1], row=[0, 0], col=[0, 0],
+                   val=[1.0, 1.0],
+                   const_row=[1, 1], const_col=[0, 1],
+                   const_val=[-1.0, -2.0])
+    prob = MISDP(nvars=2, obj=np.zeros(2), lb=np.zeros(2),
+                 ub=np.ones(2), integral=np.ones(2, bool),
+                 blocks=[blk], lp=LinearConstraints.empty(), name="dzi")
+    rows = diag_zero_impl_rows(prob)
+    assert len(rows) == 1
+    inds, vals, lo, hi = rows[0]
+    assert sorted(inds) == [0, 1] and vals == [1.0, 1.0] and lo == 1.0
+    # negative lower bound on an integer variable disables the cut
+    prob2 = MISDP(nvars=2, obj=np.zeros(2), lb=np.array([-1.0, 0.0]),
+                  ub=np.ones(2), integral=np.ones(2, bool),
+                  blocks=[blk], lp=LinearConstraints.empty(), name="dzi2")
+    assert diag_zero_impl_rows(prob2) == []
+    # a continuous variable covering the diagonal disables the cut
+    prob3 = MISDP(nvars=2, obj=np.zeros(2), lb=np.zeros(2),
+                  ub=np.ones(2), integral=np.array([True, False]),
+                  blocks=[blk], lp=LinearConstraints.empty(), name="dzi3")
+    assert diag_zero_impl_rows(prob3) == []
+
+
+def test_two_minor_prod_rows():
+    from scipsdp_tpu.core.presolve_sdp import two_minor_prod_rows
+    # constant diagonals (A_0)_00 = -4, (A_0)_11 = -1 (X_ss = 4, X_tt = 1),
+    # variable off-diagonal: X_10 = 3 y0 - (A_0)_10 with (A_0)_10 = 0.5
+    # => 3 y0 >= 0.5 - sqrt(4) = -1.5
+    blk = SDPBlock(size=2, var=[0], row=[1], col=[0], val=[3.0],
+                   const_row=[0, 1, 1], const_col=[0, 1, 0],
+                   const_val=[-4.0, -1.0, 0.5])
+    prob = MISDP(nvars=1, obj=np.zeros(1), lb=np.full(1, -INF),
+                 ub=np.full(1, INF), integral=np.zeros(1, bool),
+                 blocks=[blk], lp=LinearConstraints.empty(), name="tmp")
+    rows = two_minor_prod_rows(prob)
+    assert len(rows) == 1
+    inds, vals, lo, hi = rows[0]
+    assert inds == [0] and vals == [3.0]
+    assert abs(lo - (0.5 - 2.0)) < 1e-12
+    # PSD-wise: X = [[4, 3y-0.5], [3y-0.5, 1]] >= 0 iff |3y-0.5| <= 2,
+    # so the generated one-sided row 3y >= -1.5 is valid and tight
+
+
+def test_two_minor_varbound_rows_validity():
+    from scipsdp_tpu.core.presolve_sdp import two_minor_varbound_rows
+    rng = np.random.default_rng(5)
+    # random 2x2 affine block with box [0,1]^2; check every generated row
+    # is satisfied by all PSD-feasible corner/grid points
+    blk = SDPBlock(size=2, var=[0, 0, 1, 1], row=[0, 1, 1, 1],
+                   col=[0, 0, 1, 0], val=[2.0, 1.0, 1.5, -0.5],
+                   const_row=[0, 1], const_col=[0, 1],
+                   const_val=[-1.0, -0.5])
+    prob = MISDP(nvars=2, obj=np.zeros(2), lb=np.zeros(2), ub=np.ones(2),
+                 integral=np.zeros(2, bool), blocks=[blk],
+                 lp=LinearConstraints.empty(), name="tmvb")
+    rows = two_minor_varbound_rows(prob)
+    assert rows, "expected some varbound rows"
+    A = blk.dense_coeff(2)
+    C = blk.dense_const()
+    for y0 in np.linspace(0, 1, 7):
+        for y1 in np.linspace(0, 1, 7):
+            y = np.array([y0, y1])
+            Z = np.einsum("j,jab->ab", y, A) - C
+            if np.linalg.eigvalsh(Z)[0] >= -1e-9:   # PSD-feasible point
+                for inds, vals, lo, hi in rows:
+                    act = sum(v * y[i] for i, v in zip(inds, vals))
+                    assert act >= lo - 1e-7 and act <= hi + 1e-7
+
+
+def test_tighten_matrices():
+    from scipsdp_tpu.core.presolve_sdp import tighten_matrices
+    # block: y0 * (4 I) - I >= 0 with binary y0: y0 = 1 gives 4I - I >= 0;
+    # minimal feasible y is 0.25, so A_0 can be tightened to 0.25 * 4I = I
+    blk = SDPBlock(size=2, var=[0, 0], row=[0, 1], col=[0, 1],
+                   val=[4.0, 4.0],
+                   const_row=[0, 1], const_col=[0, 1], const_val=[1.0, 1.0])
+    prob = MISDP(nvars=1, obj=np.array([1.0]), lb=np.zeros(1),
+                 ub=np.ones(1), integral=np.ones(1, bool),
+                 blocks=[blk], lp=LinearConstraints.empty(), name="tm")
+    out = tighten_matrices(prob)
+    np.testing.assert_allclose(out.blocks[0].val, [1.0, 1.0], atol=1e-3)
+    # the binary feasible set is unchanged: y0=1 stays feasible, y0=0 not
+    A = out.blocks[0].dense_coeff(1)[0]
+    C = out.blocks[0].dense_const()
+    assert np.linalg.eigvalsh(1.0 * A - C)[0] >= -1e-6
+    assert np.linalg.eigvalsh(0.0 * A - C)[0] < -1e-6
+
+
+def test_proprows_routed_by_mode():
+    from scipsdp_tpu.core.presolve_sdp import presolve_problem as pp
+    blk = SDPBlock(size=2, var=[0, 1], row=[0, 0], col=[0, 0],
+                   val=[1.0, 1.0],
+                   const_row=[1, 1], const_col=[0, 1],
+                   const_val=[-1.0, -2.0])
+    prob = MISDP(nvars=2, obj=np.zeros(2), lb=np.zeros(2),
+                 ub=np.ones(2), integral=np.ones(2, bool),
+                 blocks=[blk], lp=LinearConstraints.empty(), name="route")
+    out_sdp = pp(prob, Settings())
+    assert out_sdp.proprows is not None and out_sdp.proprows.nrows >= 1
+    assert out_sdp.lp.nrows == 0
+    out_lp = pp(prob, Settings(solve_sdps=0))
+    assert out_lp.proprows is None or out_lp.proprows.nrows == 0
+    assert out_lp.lp.nrows >= 1
+    # proprows participate in bound propagation: y0 + y1 >= 1 with
+    # ub = (1, 0) forces y0 >= 1
+    lb, ub, c = tighten_bounds(out_sdp, np.zeros(2), np.array([1.0, 0.0]))
+    assert not c and lb[0] >= 1.0 - 1e-9

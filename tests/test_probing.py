@@ -141,3 +141,48 @@ def test_warmstart_diving_interaction_regression():
     res = solve_misdp(prob, Settings(bb=BBSettings(warmstart=True,
                                                    diving_freq=2)))
     assert abs(res.objval - (-8.0)) < 1e-4
+
+
+def test_rounding_problem_warmstart_and_cutoff():
+    """solvePrimalRoundingProblem analog (warmstartproject = 4)."""
+    from scipsdp_tpu.core.probing import rounding_problem
+    from scipsdp_tpu.core.sdpi import SDPInterface
+    from scipsdp_tpu.models.problem import (LinearConstraints, MISDP,
+                                            SDPBlock, densify)
+    from scipsdp_tpu.utils.config import Settings
+    from scipsdp_tpu.utils.status import SolverResultStatus
+
+    blk = SDPBlock(size=2, var=[0, 0], row=[0, 1], col=[0, 1],
+                   val=[1.0, 1.0],
+                   const_row=[0, 1], const_col=[0, 1], const_val=[1.0, 1.0])
+    prob = MISDP(nvars=1, obj=np.array([1.0]), lb=np.zeros(1),
+                 ub=np.full(1, 3.0), integral=np.zeros(1, bool),
+                 blocks=[blk], lp=LinearConstraints.empty(), name="rp")
+    dense = densify(prob)
+    s = Settings()
+    iface = SDPInterface(dense, s)
+    res = iface.solve_batch(prob.lb[None], prob.ub[None])
+    assert res.status[0] == int(SolverResultStatus.OPTIMAL)
+    parent_X = [np.asarray(res.X[t][0, slot])
+                for (t, slot) in iface.data.block_of]
+    # warmstart path: optimal value 1.0 < cutoff -> "ok" with y ~ 1
+    action, wy = rounding_problem(prob, dense, s, parent_X, res.y[0],
+                                  prob.lb, prob.ub, cutoff=10.0)
+    assert action == "ok"
+    assert abs(wy[0] - 1.0) < 1e-3
+    # cutoff path: restricted primal optimum 1.0 >= cutoff 0.5
+    action2, _ = rounding_problem(prob, dense, s, parent_X, res.y[0],
+                                  prob.lb, prob.ub, cutoff=0.5)
+    assert action2 == "cutoff"
+
+
+def test_bb_warmstartproject4_end_to_end():
+    from scipsdp_tpu.core.branchbound import solve_misdp
+    from scipsdp_tpu.models.io import read_problem
+    from scipsdp_tpu.utils.config import BBSettings, Settings
+
+    prob = read_problem("/root/reference/instances/example_small.dat-s")
+    s = Settings(bb=BBSettings(batch_size=4, warmstart=True,
+                               warmstartproject=4))
+    res = solve_misdp(prob, s)
+    assert abs(res.objval - (-8.0)) < 1e-4

@@ -111,6 +111,14 @@ def _apply_indicator_propagation(prob: MISDP, lb: np.ndarray, ub: np.ndarray):
             ub[link.slackvar] = min(ub[link.slackvar], 0.0)
 
 
+def _lift_violated(prob: MISDP, y: np.ndarray, feastol: float) -> bool:
+    """Does y violate a bilinear-lift identity w = y_i y_j (quad upgrade)?"""
+    if not prob.liftinfo:
+        return False
+    return any(abs(y[w] - y[vi] * y[vj]) > 10.0 * feastol
+               for (w, vi, vj) in prob.liftinfo)
+
+
 def _violated_indicator(prob: MISDP, y: np.ndarray, feastol: float) -> int:
     """Return the binvar of a violated indicator link (binvar ~ 1 but slack
     positive), or -1.  Enforcement role of SCIP's cons_indicator."""
@@ -443,7 +451,9 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
     feastol = bb.feastol
     t0 = time.time()
 
+    m_user = prob.nvars   # report solutions in the user's variable space
     sol = _Solver(prob, settings)
+    prob = sol.prob       # presolve may lift the problem (quad upgrade)
     m = prob.nvars
     integral = prob.integral
     obj = prob.obj
@@ -598,6 +608,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                         continue
                     if _violated_indicator(prob, ydive[i], feastol) >= 0:
                         continue
+                    if _lift_violated(prob, ydive[i], feastol):
+                        continue
                     val = float(obj @ ydive[i])
                     if val < incumbent_val - 1e-12:
                         incumbent_val = val
@@ -611,11 +623,12 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             # fused path: candidates were rounded + checked on device
             yr = res.round_y
             feas = res.round_feas.copy()
-            if has_rank1:
-                for i in range(len(batch)):
-                    if feas[i] and r1.rank1_violation(
-                            sol.dense, yr[i], feastol) is not None:
-                        feas[i] = False
+            for i in range(len(batch)):
+                if feas[i] and has_rank1 and r1.rank1_violation(
+                        sol.dense, yr[i], feastol) is not None:
+                    feas[i] = False
+                if feas[i] and _lift_violated(prob, yr[i], feastol):
+                    feas[i] = False
         elif bb.heuristic_fracround:
             rng_h = np.random.default_rng(settings.seed + stats.nodes)
             cands = []
@@ -638,11 +651,12 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 f, _ = check_points(sol.full_iface.data, yc, lb, ub,
                                     feastol=feastol)
                 f = np.array(f)
-                if has_rank1:
-                    for i in range(len(batch)):
-                        if f[i] and r1.rank1_violation(
-                                sol.dense, yc[i], feastol) is not None:
-                            f[i] = False
+                for i in range(len(batch)):
+                    if f[i] and has_rank1 and r1.rank1_violation(
+                            sol.dense, yc[i], feastol) is not None:
+                        f[i] = False
+                    if f[i] and _lift_violated(prob, yc[i], feastol):
+                        f[i] = False
                 vals = yc @ obj
                 better = f & (vals < best)
                 yr[better] = yc[better]
@@ -716,7 +730,49 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                     frontier,
                                     (bound, next(counter), node))
                             continue
-                    if enforce_ind < 0 and has_rank1:
+                    if enforce_ind < 0 and spatial is None and prob.liftinfo:
+                        # bilinear-lift enforcement (quad upgrade): find the
+                        # most violated identity w = y_i y_j, branch on the
+                        # wider factor at its current value; children get
+                        # refreshed McCormick envelopes for their boxes
+                        from scipsdp_tpu.core.quadupgrade import \
+                            mccormick_rows
+                        best_v, best_t = 10.0 * feastol, None
+                        for (w, vi, vj) in prob.liftinfo:
+                            viol = abs(y[w] - y[vi] * y[vj])
+                            if viol > best_v:
+                                best_v, best_t = viol, (w, vi, vj)
+                        if best_t is not None:
+                            w, vi, vj = best_t
+                            wi = node.ub[vi] - node.lb[vi]
+                            wj = node.ub[vj] - node.lb[vj]
+                            j_br = vi if (vi == vj or wi >= wj) else vj
+                            touched = [t for t in prob.liftinfo
+                                       if j_br in (t[1], t[2])]
+
+                            def child_mcc(clb, cub):
+                                return [(g, rhs) for g, rhs in
+                                        mccormick_rows(m, touched, clb, cub)]
+
+                            # guaranteed box shrinkage (sBB contraction)
+                            l_, u_ = node.lb[j_br], node.ub[j_br]
+                            sv = float(y[j_br])
+                            if l_ > -INF / 2 and u_ < INF / 2:
+                                wd = u_ - l_
+                                sv = min(max(sv, l_ + 0.2 * wd),
+                                         u_ - 0.2 * wd)
+                            elif l_ > -INF / 2:
+                                sv = max(sv, l_ + 1.0)
+                            elif u_ < INF / 2:
+                                sv = min(sv, u_ - 1.0)
+                            spatial = (j_br, sv, child_mcc)
+                        else:
+                            # identities hold: solution is truly feasible
+                            if bound < incumbent_val - 1e-12:
+                                incumbent_val = bound
+                                incumbent_y = y.copy()
+                            continue
+                    if enforce_ind < 0 and spatial is None and has_rank1:
                         v = r1.rank1_violation(sol.dense, y, feastol)
                         if v is not None:
                             # rank-1 extreme-point heuristic: re-solve the
@@ -891,7 +947,9 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
 
             if is_spatial:
                 # continuous split at the current value; both children get
-                # the locally valid rank-1 cuts for their (shrunken) boxes
+                # locally valid cuts for their (shrunken) boxes — a static
+                # list (rank-1 secants) or a per-child generator (McCormick
+                # envelopes, which depend on the child box)
                 children = []
                 for side in (0, 1):
                     clb, cub = node.lb.copy(), node.ub.copy()
@@ -900,7 +958,9 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                     else:
                         clb[j] = split
                     ccuts = list(node.cuts)
-                    for g, rhs in child_cuts:
+                    gen = (child_cuts(clb, cub) if callable(child_cuts)
+                           else child_cuts)
+                    for g, rhs in gen:
                         ccuts.append((g, rhs))
                     children.append((clb, cub, ccuts))
             else:
@@ -969,7 +1029,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                / max(1e-9, abs(incumbent_val))
                if incumbent_y is not None else np.inf)
         return BBResult(status, objval,
-                        incumbent_y[:m] if incumbent_y is not None else None,
+                        incumbent_y[:m_user] if incumbent_y is not None else None,
                         prob.external_objval(dual_bound_internal), gap, stats)
 
     if incumbent_y is None:
@@ -979,7 +1039,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
     return BBResult(
         SolveStatus.OPTIMAL,
         prob.external_objval(incumbent_val),
-        incumbent_y[:m],
+        incumbent_y[:m_user],
         prob.external_objval(incumbent_val),
         0.0,
         stats,

@@ -275,6 +275,11 @@ def tighten_matrices(prob: MISDP, feastol: float = 1e-6) -> MISDP:
 def presolve_problem(prob: MISDP, settings) -> MISDP:
     """Apply the enabled problem-level transformations."""
     pres = settings.presolve
+    if prob.quadcons:
+        # quadratic constraints -> rank-1 SDP lifting (consQuadConsUpgdSdp
+        # role; always on here — see core/quadupgrade.py design note)
+        from scipsdp_tpu.core.quadupgrade import upgrade_quadconss
+        prob = upgrade_quadconss(prob)
     if pres.move_1x1_blocks:
         prob = move_1x1_blocks(prob)
     if pres.tightenmatrices:

@@ -146,6 +146,32 @@ class LinearConstraints:
 
 
 @dataclasses.dataclass
+class QuadConstraint:
+    """A quadratic constraint  lhs <= l^T y + sum_t q_t y_{r_t} y_{c_t} <= rhs.
+
+    The reference receives these through SCIP's nonlinear handler and can
+    upgrade them to a rank-1 SDP constraint (consQuadConsUpgdSdp,
+    cons_sdp.c:5636,6106); core/quadupgrade.py performs that lifting here.
+    """
+
+    lin_ind: np.ndarray   # (nl,) int32
+    lin_val: np.ndarray   # (nl,)
+    qrow: np.ndarray      # (nq,) int32 first factor
+    qcol: np.ndarray      # (nq,) int32 second factor
+    qval: np.ndarray      # (nq,)
+    lhs: float
+    rhs: float
+    name: str = "quad"
+
+    def __post_init__(self):
+        self.lin_ind = np.asarray(self.lin_ind, dtype=np.int32)
+        self.lin_val = np.asarray(self.lin_val, dtype=np.float64)
+        self.qrow = np.asarray(self.qrow, dtype=np.int32)
+        self.qcol = np.asarray(self.qcol, dtype=np.int32)
+        self.qval = np.asarray(self.qval, dtype=np.float64)
+
+
+@dataclasses.dataclass
 class IndicatorLink:
     """Indicator constraint: binvar = 1  ==>  slackvar = 0.
 
@@ -178,6 +204,13 @@ class MISDP:
     # participate in bound propagation but are NOT part of the SDP-mode
     # relaxation; LP mode folds them into the LP rows
     proprows: Optional[LinearConstraints] = None
+    # quadratic constraints (upgraded to a rank-1 SDP block by presolve,
+    # core/quadupgrade.py — consQuadConsUpgdSdp role)
+    quadcons: List["QuadConstraint"] = dataclasses.field(default_factory=list)
+    # bilinear lift structure from the quadratic upgrade: (w, i, j) with
+    # variable w standing for y_i * y_j; enforced by McCormick cuts +
+    # spatial branching in the B&B loop
+    liftinfo: Optional[List[Tuple[int, int, int]]] = None
     name: str = "misdp"
     varnames: Optional[List[str]] = None
     # objsense/objscale/objoffset map internal min-form values back to the

@@ -10,7 +10,11 @@ print/parse format (consPrintSdp:8714 / consParseSdp:8855):
         <var>: (i,j):v, ...;
 
 plus SCIP linear constraints  ``[linear] <name>: terms {<=,>=,==} rhs;``
-(terms like ``+2.5<X_1>[C]``) and indicator constraints
+(terms like ``+2.5<X_1>[C]``), quadratic constraints
+``[quadratic] <name>: +2<x>[C]^2 +<x>[C]<y>[C] -3<z>[C] <= 5;``
+(squares ``<x>^2``, bilinear products ``<x><y>``, linear terms — SCIP's
+cons_quadratic print format; upgraded to a rank-1 SDP by presolve,
+consQuadConsUpgdSdp role) and indicator constraints
 ``[indicator] <name>: <binvar> = 1 -> <slackvar> = 0;``.
 
 Sections: STATISTICS, OBJECTIVE (Sense), VARIABLES, (FIXED,) CONSTRAINTS,
@@ -30,6 +34,7 @@ from scipsdp_tpu.models.problem import (
     IndicatorLink,
     LinearConstraints,
     MISDP,
+    QuadConstraint,
     SDPBlock,
 )
 from scipsdp_tpu.models.reader_sdpa import ReadError
@@ -46,6 +51,11 @@ _VAR_RE = re.compile(
     r"\s*obj=([^,]+),\s*(?:original|global|local)\s+bounds=\[([^,]+),([^\]]+)\]"
 )
 _TERM_RE = re.compile(r"([+-]?\s*\d*\.?\d*(?:[eE][+-]?\d+)?)\s*<([^>]+)>\[[BICM]?\]")
+# quadratic terms: coef <x>[C]^2 | coef <x>[C]<y>[C] | coef <x>[C]
+_QTERM_RE = re.compile(
+    r"([+-]?\s*\d*\.?\d*(?:[eE][+-]?\d+)?)\s*"
+    r"<([^>]+)>(?:\[[BICM]?\])?"
+    r"(?:\s*(\^2)|\s*\*?\s*<([^>]+)>(?:\[[BICM]?\])?)?")
 _ENTRY_RE = re.compile(r"\((\d+),(\d+)\):([+-]?\d*\.?\d+(?:[eE][+-]?\d+)?)")
 _IND_RE = re.compile(r"<([^>]+)>\s*=\s*1\s*->\s*<([^>]+)>\s*=\s*0")
 
@@ -129,6 +139,7 @@ def read_cip(path: str, name: Optional[str] = None) -> MISDP:
     rowname: Dict[str, int] = {}
     blocks: List[SDPBlock] = []
     indicators: List[IndicatorLink] = []
+    quadcons: List[QuadConstraint] = []
 
     for cons in joined:
         m = re.match(r"\[(\w+)\]\s*<([^>]+)>\s*:\s*(.*)", cons, re.S)
@@ -211,6 +222,43 @@ def read_cip(path: str, name: Optional[str] = None) -> MISDP:
                     rank1=rank1,
                 )
             )
+        elif ctype == "quadratic":
+            mm = re.match(r"(.*?)(<=|>=|==)\s*([+-]?\d*\.?\d+(?:[eE][+-]?\d+)?)\s*$",
+                          body, re.S)
+            if not mm:
+                raise ReadError(
+                    f"cannot parse quadratic constraint: {body[:80]}")
+            terms, op, rhs_tok = mm.groups()
+            val = float(rhs_tok)
+            if op == "<=":
+                lo, hi = -INF, val
+            elif op == ">=":
+                lo, hi = val, INF
+            else:
+                lo = hi = val
+            lin_i, lin_v, qr, qc_, qv = [], [], [], [], []
+            for coef, v1, sq, v2 in _QTERM_RE.findall(terms):
+                if not v1:
+                    continue
+                if v1 not in varindex:
+                    raise ReadError(f"unknown variable <{v1}>")
+                c = _parse_coef(coef)
+                if sq:
+                    qr.append(varindex[v1])
+                    qc_.append(varindex[v1])
+                    qv.append(c)
+                elif v2:
+                    if v2 not in varindex:
+                        raise ReadError(f"unknown variable <{v2}>")
+                    qr.append(varindex[v1])
+                    qc_.append(varindex[v2])
+                    qv.append(c)
+                else:
+                    lin_i.append(varindex[v1])
+                    lin_v.append(c)
+            quadcons.append(QuadConstraint(
+                lin_ind=lin_i, lin_val=lin_v, qrow=qr, qcol=qc_, qval=qv,
+                lhs=lo, rhs=hi, name=cname))
         elif ctype == "indicator":
             mm = _IND_RE.search(body)
             if not mm:
@@ -241,6 +289,7 @@ def read_cip(path: str, name: Optional[str] = None) -> MISDP:
         blocks=blocks,
         lp=lp,
         indicators=indicators,
+        quadcons=quadcons,
         name=name,
         varnames=varnames,
         objsense=sense,

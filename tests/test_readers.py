@@ -160,3 +160,78 @@ def test_native_parser_matches_python(tmp_path):
                                        bb_.dense_coeff(b.nvars))
             np.testing.assert_allclose(ba.dense_const(), bb_.dense_const())
         np.testing.assert_allclose(a.lp.dense(a.nvars), b.lp.dense(b.nvars))
+
+
+def test_cip_quadratic_parse_and_upgrade():
+    """[quadratic] constraints parse and upgrade to a rank-1 SDP block
+    (consQuadConsUpgdSdp role, cons_sdp.c:5636)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from scipsdp_tpu.core.quadupgrade import upgrade_quadconss
+    from scipsdp_tpu.models.reader_cip import read_cip
+
+    text = """STATISTICS
+  Problem name: quadtest
+OBJECTIVE
+  Sense: minimize
+VARIABLES
+  [continuous] <x>: obj=1, original bounds=[0,4]
+  [continuous] <y>: obj=1, original bounds=[0,4]
+  [integer] <z>: obj=0, original bounds=[0,3]
+CONSTRAINTS
+  [quadratic] <q1>: +<x>[C]<y>[C] -0.5<z>[I] >= 1;
+  [quadratic] <q2>: +2<x>[C]^2 +<y>[C] <= 36;
+END
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".cip", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        prob = read_cip(path)
+    finally:
+        os.unlink(path)
+    assert len(prob.quadcons) == 2
+    q1 = prob.quadcons[0]
+    assert list(q1.qrow) == [0] and list(q1.qcol) == [1]
+    assert list(q1.lin_ind) == [2] and q1.lin_val[0] == -0.5
+    assert q1.lhs == 1.0
+    q2 = prob.quadcons[1]
+    assert list(q2.qrow) == [0] and list(q2.qcol) == [0]
+    assert q2.qval[0] == 2.0 and q2.rhs == 36.0
+
+    up = upgrade_quadconss(prob)
+    assert not up.quadcons
+    assert up.blocks and up.liftinfo  # lift enforced via McCormick sBB
+    assert up.blocks[-1].size == 3          # 1 + {x, y}
+    assert up.nvars == 3 + 3                # X_xx, X_yx, X_yy
+    # rows: q1 -> X_yx - 0.5 z >= 1; q2 -> 2 X_xx + y <= 36; plus the
+    # global McCormick envelope rows for the three lifted entries
+    D = up.lp.dense(up.nvars)
+    assert up.lp.nrows >= 2
+    # lifted entries bounded by bound products
+    assert up.ub[3] <= 16.0 + 1e-9 and up.lb[3] >= 0.0
+
+
+def test_quadratic_bb_solve():
+    """min x + y  s.t.  x*y >= 1, box [0,4]^2  ->  2 at (1,1)."""
+    import numpy as np
+
+    from scipsdp_tpu.core.branchbound import solve_misdp
+    from scipsdp_tpu.models.problem import (LinearConstraints, MISDP,
+                                            QuadConstraint)
+    from scipsdp_tpu.utils.config import BBSettings, Settings
+
+    prob = MISDP(
+        nvars=2, obj=np.ones(2), lb=np.zeros(2), ub=np.full(2, 2.0),
+        integral=np.zeros(2, bool), blocks=[],
+        lp=LinearConstraints.empty(),
+        quadcons=[QuadConstraint(lin_ind=[], lin_val=[], qrow=[0],
+                                 qcol=[1], qval=[1.0], lhs=1.0, rhs=1e20)],
+        name="qp")
+    res = solve_misdp(prob, Settings(bb=BBSettings(batch_size=4,
+                                                   node_limit=150)))
+    assert res.objval is not None
+    assert abs(res.objval - 2.0) < 5e-3

@@ -35,6 +35,11 @@ def run_impl(smoke: bool, batch: int, backend: str):
 
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent executable cache: TPU-relay compiles take minutes per
+        # graph; later bench runs (and rounds) start warm
+        import scipsdp_tpu
+        scipsdp_tpu.enable_compilation_cache()
 
     from scipsdp_tpu.core.branchbound import solve_misdp
     from scipsdp_tpu.models.io import read_problem

@@ -29,6 +29,30 @@ if not _os.environ.get("SCIPSDP_TPU_NO_X64"):
 
     _jax.config.update("jax_enable_x64", True)
 
+def enable_compilation_cache(path: str = None) -> None:
+    """Opt-in persistent XLA compilation cache (for accelerator runs).
+
+    IPM graphs cost minutes to compile through the TPU relay; caching the
+    serialized executables makes every later process start warm.  NOT
+    enabled by default / for CPU runs: measured no win there (compiles are
+    host-bound either way) and XLA:CPU AOT cache entries embed the
+    compiling host's microarchitecture — this environment schedules
+    processes on heterogeneous hosts, so reloading risks slow code paths
+    or SIGILL ("machine type ... doesn't match" loader warnings).
+    """
+    import jax as _jax
+
+    cache = path or _os.environ.get(
+        "SCIPSDP_TPU_COMPCACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "scipsdp_tpu_xla"))
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # cache is an optimization only — never fail
+        pass
+
 from scipsdp_tpu.utils.config import Settings, default_settings  # noqa: E402
 from scipsdp_tpu.utils.status import SolveStatus, SolverResultStatus  # noqa: E402
 from scipsdp_tpu.models.problem import MISDP, SDPBlock, LinearConstraints  # noqa: E402
@@ -48,4 +72,5 @@ __all__ = [
     "read_problem",
     "solve_misdp",
     "BBResult",
+    "enable_compilation_cache",
 ]

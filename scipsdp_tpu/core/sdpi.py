@@ -98,21 +98,12 @@ class SDPInterface:
         self.dense = dense
         self.data: IPMData = build_ipm_data(dense)
         self.m = dense.nvars
-        self._solve = jax.jit(
-            functools.partial(ipm_solve, settings=self.settings.ipm)
-        )
         # mixed precision: fast f32 tier with f64 escalation (the
         # reference's fast->stable solver-settings tiers)
         mp = self.settings.ipm.mixed_precision
         self._mp = mp == "on"
         if self._mp:
-            import dataclasses as _dc
-
             self.data32 = build_ipm_data(dense, jnp.float32)
-            ipm32 = _dc.replace(self.settings.ipm, dtype="float32",
-                                chol_reg=1e-9)
-            self._solve32 = jax.jit(functools.partial(ipm_solve,
-                                                      settings=ipm32))
         # fused solve + rounding-heuristic dispatch (saves device round
         # trips: the environment is dispatch-latency-bound)
         self._indicator_pairs = (
@@ -146,18 +137,29 @@ class SDPInterface:
 
     def _run(self, b, lb, ub, cuts=None, warm_y=None, warm_mask=None,
              f32=False):
+        """One batched solve through the SINGLE fused executable.
+
+        Every recovery-ladder rung reuses the fused solve+rounding graph
+        (with a fixed key, ignoring the rounding outputs) instead of a
+        second jitted variant: each extra graph costs a full XLA compile
+        (~50 s on CPU, minutes through the TPU relay), far more than the
+        rounding side-computation it drags along."""
         self.stat_nsolves += 1
         if cuts is None:
             cargs = (None, None, None)
         else:
             cargs = (jnp.asarray(cuts[0]), jnp.asarray(cuts[1]),
                      jnp.asarray(cuts[2]))
+        key = jax.random.PRNGKey(0)
         if f32:
-            return self._solve32(self.data32, jnp.asarray(b),
-                                 jnp.asarray(lb), jnp.asarray(ub), *cargs,
-                                 warm_y, warm_mask)
-        return self._solve(self.data, jnp.asarray(b), jnp.asarray(lb),
-                           jnp.asarray(ub), *cargs, warm_y, warm_mask)
+            out, _, _, _ = self._fused(self.data32, jnp.asarray(b),
+                                       jnp.asarray(lb), jnp.asarray(ub),
+                                       key, *cargs, warm_y, warm_mask)
+        else:
+            out, _, _, _ = self._fused(self.data, jnp.asarray(b),
+                                       jnp.asarray(lb), jnp.asarray(ub),
+                                       key, *cargs, warm_y, warm_mask)
+        return out
 
     def _fused_impl(self, data, b, lb, ub, key, Gcut=None, hcut=None,
                     cvalid=None, warm_y=None, warm_mask=None):

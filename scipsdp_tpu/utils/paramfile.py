@@ -29,9 +29,33 @@ _PARAM_MAP = {
     "relaxing/SDP/peninfeasadjust": ("ipm", "peninfeasadjust", float),
     "relaxing/SDP/warmstart": ("bb", "warmstart", bool),
     "relaxing/SDP/warmstartipfactor": ("ipm", "warmstartipfactor", float),
+    "relaxing/SDP/warmstartproject": ("bb", "warmstartproject", int),
+    "relaxing/SDP/warmstartroundonlyinf": ("bb", "warmstartroundonlyinf",
+                                           bool),
+    "relaxing/SDP/conflictconss": ("bb", "conflictconss", bool),
+    "relaxing/SDP/conflictfeas": ("bb", "conflictfeas", bool),
+    "relaxing/SDP/conflictinfeas": ("bb", "conflictinfeas", bool),
+    "relaxing/SDP/conflictcmir": ("bb", "conflictcmir", bool),
     "constraints/SDP/diaggezerocuts": ("presolve", "diaggezerocuts", bool),
     "constraints/SDP/twominorlinconss": ("presolve", "twominorlinconss",
                                          bool),
+    "constraints/SDP/diagzeroimplcuts": ("presolve", "diagzeroimplcuts",
+                                         bool),
+    "constraints/SDP/twominorprodconss": ("presolve", "twominorprodconss",
+                                          bool),
+    "constraints/SDP/twominorvarbounds": ("presolve", "twominorvarbounds",
+                                          bool),
+    "constraints/SDP/tightenmatrices": ("presolve", "tightenmatrices", bool),
+    "constraints/SDP/presollinconssparam": ("presolve",
+                                            "presollinconssparam", int),
+    "constraints/SDP/generatecmir": ("cuts", "generatecmir", bool),
+    "constraints/SDP/separateonecut": ("cuts", "separateonecut", bool),
+    "constraints/SDP/multiplesparsecuts": ("cuts", "multiplesparsecuts",
+                                           bool),
+    "constraints/SDP/maxnsparsecuts": ("cuts", "maxnsparsecuts", int),
+    "constraints/SDP/sparsifyfactor": ("cuts", "sparsifyfactor", float),
+    "constraints/SDP/sparsifytargetsize": ("cuts", "sparsifytargetsize",
+                                           int),
     "propagating/sdp-symmetry/freq": ("", "use_symmetry", bool),
     "heuristics/sdpfracdiving/freq": ("bb", "diving_freq", int),
     "propagating/sdpobbt/freq": ("bb", "obbt_at_root", bool),
@@ -53,7 +77,7 @@ def _parse_value(raw: str, typ):
 
 def load_settings_file(path: str, base: Settings = None) -> Settings:
     settings = base or Settings()
-    updates = {"": {}, "bb": {}, "ipm": {}, "presolve": {}}
+    updates = {"": {}, "bb": {}, "ipm": {}, "presolve": {}, "cuts": {}}
     with open(path) as f:
         for line in f:
             line = line.split("#")[0].strip()
@@ -78,6 +102,10 @@ def load_settings_file(path: str, base: Settings = None) -> Settings:
             settings,
             presolve=dataclasses.replace(settings.presolve,
                                          **updates["presolve"]))
+    if updates["cuts"]:
+        settings = dataclasses.replace(
+            settings, cuts=dataclasses.replace(settings.cuts,
+                                               **updates["cuts"]))
     if updates[""]:
         settings = dataclasses.replace(settings, **updates[""])
     return settings

@@ -80,14 +80,16 @@ def main(argv=None) -> int:
         from scipsdp_tpu.utils.paramfile import load_settings_file
         settings = load_settings_file(args.settings, settings)
     if args.slater:
-        from scipsdp_tpu.core.probing import slater_check
+        from scipsdp_tpu.core.probing import slater_check, slater_check_primal
         from scipsdp_tpu.core.sdpi import SDPInterface
         from scipsdp_tpu.models.problem import densify
         iface = SDPInterface(densify(prob), settings)
         st = slater_check(iface, prob.lb[None, :], prob.ub[None, :])
         names = {1: "holds", 0: "fails (boundary/infeasible)",
                  -1: "undecided"}
-        print(f"root dual Slater condition: {names[int(st[0])]}")
+        print(f"root dual Slater condition  : {names[int(st[0])]}")
+        stp = slater_check_primal(prob, settings, prob.lb, prob.ub)
+        print(f"root primal Slater condition: {names[stp]}")
 
     res = solve_misdp(prob, settings, log=not args.quiet,
                       checkpoint=args.checkpoint, resume=args.resume)

@@ -160,6 +160,65 @@ def slater_check(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray
     return status
 
 
+def slater_check_primal(prob, settings, lb: np.ndarray, ub: np.ndarray
+                        ) -> int:
+    """Primal Slater condition (sdpi.c:1483-1515): maximize r subject to
+    A_i * (X + r I) = c_i, X >= 0, r >= 0 — reformulated as the modified
+    dual
+
+        min b^T x   s.t.  sum_i A_i x_i >= 0  (A_0 dropped),
+                          all finite LP lhs/rhs and var bounds zeroed,
+                          sum_i (sum_j (A_i)_jj) x_i >= 1.
+
+    Returns 1 = holds (objective < -feastol or problem unbounded /
+    infeasible-dual), 0 = fails, -1 = undecided (sdpi.c:1760-1845)."""
+    import dataclasses
+
+    from scipsdp_tpu.core.sdpi import SDPInterface
+    from scipsdp_tpu.models.problem import densify
+    from scipsdp_tpu.utils.config import Settings
+
+    m = prob.nvars
+    blocks = []
+    diagsum = np.zeros(m)
+    for blk in prob.blocks:
+        A = blk.dense_coeff(m)
+        diagsum += A[:, range(blk.size), range(blk.size)].sum(axis=1)
+        blocks.append(dataclasses.replace(
+            blk, const_row=np.zeros(0, np.int32),
+            const_col=np.zeros(0, np.int32), const_val=np.zeros(0)))
+    rows = []
+    for i in range(prob.lp.nrows):
+        sl = slice(prob.lp.beg[i], prob.lp.beg[i + 1])
+        lo = 0.0 if prob.lp.lhs[i] > -INF / 2 else -INF
+        hi = 0.0 if prob.lp.rhs[i] < INF / 2 else INF
+        rows.append((list(prob.lp.ind[sl]), list(prob.lp.val[sl]), lo, hi))
+    nz = np.nonzero(np.abs(diagsum) > 1e-12)[0]
+    if len(nz) == 0:
+        return -1
+    rows.append((list(nz), list(diagsum[nz]), 1.0, INF))
+    lbz = np.where(lb > -INF / 2, 0.0, -INF)
+    ubz = np.where(ub < INF / 2, 0.0, INF)
+    from scipsdp_tpu.models.problem import LinearConstraints, MISDP
+    aux = MISDP(nvars=m, obj=prob.obj, lb=lbz, ub=ubz,
+                integral=np.zeros(m, bool), blocks=blocks,
+                lp=LinearConstraints.from_rows(rows),
+                name=prob.name + "_slaterprimal")
+    iface = SDPInterface(densify(aux), Settings(ipm=settings.ipm))
+    res = iface.solve_batch(aux.lb[None], aux.ub[None])
+    st = int(res.status[0])
+    feastol = settings.ipm.feastol
+    if st == int(SolverResultStatus.UNBOUNDED):
+        return 1
+    if st in (int(SolverResultStatus.INFEASIBLE),
+              int(SolverResultStatus.PRESOLVED_INFEASIBLE)):
+        return 1   # modified dual infeasible => sup r unbounded => holds
+    if st in (int(SolverResultStatus.OPTIMAL),
+              int(SolverResultStatus.PRESOLVED_OPTIMAL)):
+        return 1 if res.objval[0] <= -feastol else 0
+    return -1
+
+
 def inner_lp_point(prob, settings, y_ref: Optional[np.ndarray] = None):
     """Inner-approximation LP heuristic (heur_sdpinnerlp.c, Ahmadi-Dash-
     Hall): restrict each SDP block to *diagonally dominant* matrices —

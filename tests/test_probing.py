@@ -186,3 +186,24 @@ def test_bb_warmstartproject4_end_to_end():
                                warmstartproject=4))
     res = solve_misdp(prob, s)
     assert abs(res.objval - (-8.0)) < 1e-4
+
+
+def test_slater_check_primal():
+    """Primal Slater check (sdpi.c:1483-1515 reformulated dual)."""
+    from scipsdp_tpu.core.probing import slater_check_primal
+    from scipsdp_tpu.models.io import read_problem
+    from scipsdp_tpu.models.problem import (INF, LinearConstraints, MISDP,
+                                            SDPBlock)
+    from scipsdp_tpu.utils.config import Settings
+
+    prob = read_problem("/root/reference/instances/example_small.dat-s")
+    assert slater_check_primal(prob, Settings(), prob.lb, prob.ub) == 1
+
+    # failing case: feasible primal X must have X_00 = 0 (singular), so no
+    # strictly positive definite primal point exists
+    blk = SDPBlock(size=2, var=[0], row=[0], col=[0], val=[1.0],
+                   const_row=[], const_col=[], const_val=[])
+    bad = MISDP(nvars=1, obj=np.zeros(1), lb=np.full(1, -INF),
+                ub=np.full(1, INF), integral=np.zeros(1, bool),
+                blocks=[blk], lp=LinearConstraints.empty(), name="nps")
+    assert slater_check_primal(bad, Settings(), bad.lb, bad.ub) == 0

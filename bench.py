@@ -73,7 +73,7 @@ def run_impl(smoke: bool, batch: int, backend: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--impl", choices=["tpu", "cpu"],
                     help="internal: run the measurement in-process")
     args = ap.parse_args()

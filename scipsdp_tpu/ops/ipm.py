@@ -609,8 +609,12 @@ def ipm_solve(
             dxub = jnp.where(pre.ubmask, (rcub - st.xub * dsub) / st.sub, 0.0)
             return dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub
 
-        psd_step = (max_step_psd_power if settings.step_rule == "power"
-                    else max_step_psd)
+        if settings.step_rule == "power":
+            psd_step = max_step_psd_power
+        elif settings.step_rule == "gershgorin":
+            psd_step = None   # assigned below (psd_step_cheap)
+        else:
+            psd_step = max_step_psd
 
         def min_over_buckets(step_fn, Lt, dMt):
             vals = bmap(lambda t: jnp.min(step_fn(Lt[t], dMt[t]), axis=1))
@@ -644,6 +648,13 @@ def ipm_solve(
                 L, jnp.swapaxes(W, -1, -2), lower=True)
             lam_bound = jnp.max(jnp.sum(jnp.abs(sym(Y)), axis=-1), axis=-1)
             return 1.0 / jnp.maximum(lam_bound, 1e-300)
+
+        if settings.step_rule == "gershgorin":
+            # eigh-free corrector steps too: Gershgorin bound + the
+            # Cholesky-probe repair loop below — trades a few extra
+            # iterations for zero per-iteration eigendecompositions
+            # (f64 eigh dominates on TPU)
+            psd_step = psd_step_cheap
 
         ap_a = min_over_buckets(psd_step_cheap, Lx, dX_a)
         ap_a = jnp.minimum(ap_a, max_step_pos(st.xl, dxl_a, pre.rowmask))
@@ -697,6 +708,10 @@ def ipm_solve(
         dc = direction(Rc_c, rcl_c, rclb_c, rcub_c)
         dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub = dc
         ap, ad = steplens(dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub)
+        # NOTE: an adaptive fraction-to-boundary rule (tau -> tau_final
+        # once the relative gap is small) was measured NET NEGATIVE here:
+        # example_small 30->63 iterations with extra recovery-ladder rungs
+        # (aggressive tail steps destabilize instances in the same batch)
         ap = jnp.minimum(settings.tau * ap, 1.0)
         ad = jnp.minimum(settings.tau * ad, 1.0)
 

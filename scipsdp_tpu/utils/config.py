@@ -61,11 +61,12 @@ class IPMSettings:
                                     # combination (DEFAULT_WARMSTARTIPFACTOR)
     use_pallas: bool = False       # hand-written Pallas TPU kernel for the
                                    # Schur product (else XLA matmul)
-    step_rule: str = "eigh"        # PSD max-step: exact "eigh" or "power"
-                                   # iteration + Cholesky-probe repair.
-                                   # Measured on v5e: eigh wins in f64
-                                   # (XLA's QDWH vectorizes well at these
-                                   # block sizes); power wins in f32
+    step_rule: str = "eigh"        # PSD max-step: exact "eigh", "power"
+                                   # iteration + Cholesky-probe repair, or
+                                   # "gershgorin" (eigh-free, conservative).
+                                   # Measured: eigh wins in f64 (gershgorin
+                                   # ~doubles iterations: CLS 134->305,
+                                   # MkP 225->435); power wins in f32
 
 
 @dataclasses.dataclass(frozen=True)

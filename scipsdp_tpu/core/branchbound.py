@@ -453,8 +453,14 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
 
     m_user = prob.nvars   # report solutions in the user's variable space
     sol = _Solver(prob, settings)
-    prob = sol.prob       # presolve may lift the problem (quad upgrade)
-    m = prob.nvars
+    prob = sol.prob       # presolve may lift (quad upgrade) or shrink
+    m = prob.nvars        # (fix_and_aggregate) the problem
+
+    def to_user_space(yv):
+        if yv is None:
+            return None
+        from scipsdp_tpu.core.presolve_sdp import postsolve_solution
+        return postsolve_solution(prob, yv)[:m_user]
     integral = prob.integral
     obj = prob.obj
     stats = sol.stats
@@ -1029,7 +1035,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                / max(1e-9, abs(incumbent_val))
                if incumbent_y is not None else np.inf)
         return BBResult(status, objval,
-                        incumbent_y[:m_user] if incumbent_y is not None else None,
+                        to_user_space(incumbent_y),
                         prob.external_objval(dual_bound_internal), gap, stats)
 
     if incumbent_y is None:
@@ -1039,7 +1045,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
     return BBResult(
         SolveStatus.OPTIMAL,
         prob.external_objval(incumbent_val),
-        incumbent_y[:m_user],
+        to_user_space(incumbent_y),
         prob.external_objval(incumbent_val),
         0.0,
         stats,

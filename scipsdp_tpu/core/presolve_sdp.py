@@ -53,7 +53,7 @@ from typing import List
 
 import numpy as np
 
-from scipsdp_tpu.models.problem import INF, LinearConstraints, MISDP
+from scipsdp_tpu.models.problem import INF, LinearConstraints, MISDP, SDPBlock
 
 
 def _append_rows(lp: LinearConstraints, rows) -> LinearConstraints:
@@ -123,6 +123,8 @@ def diag_zero_impl_rows(prob: MISDP) -> List[tuple]:
     has a nonnegative lower bound."""
     rows = []
     eps = 1e-12
+    if prob.nvars == 0:
+        return rows
     for blk in prob.blocks:
         A = blk.dense_coeff(prob.nvars)      # (m, n, n)
         C = blk.dense_const()
@@ -272,9 +274,177 @@ def tighten_matrices(prob: MISDP, feastol: float = 1e-6) -> MISDP:
     return dataclasses.replace(prob, blocks=new_blocks)
 
 
+def fix_and_aggregate(prob: MISDP, aggregate: bool = False,
+                      feastol: float = 1e-9) -> MISDP:
+    """Eliminate fixed variables and (optionally) doubleton-equality
+    aggregations from the problem (fixAndAggrVars cons_sdp.c:4498,
+    multiaggrVar cons_sdp.c:4317, SdpVarfixer.c triple-merge role).
+
+    * fixed y_i = f: merge f*A_i into the constant matrices, f*d_i into
+      row sides, f*obj_i into the objective offset;
+    * doubleton equality a y_i + b y_j = c with y_i continuous:
+      substitute y_i = alpha y_j + beta (alpha = -b/a, beta = c/a)
+      everywhere and transfer y_i's bounds onto y_j.
+
+    Records a postsolve map on the returned MISDP so solutions of the
+    reduced problem can be lifted back to the original space.  Problems
+    with indicators/quadratics/lifts are returned unchanged (their
+    index-based side structures would need rewriting).
+    """
+    if prob.indicators or prob.quadcons or prob.liftinfo or prob.proprows:
+        return prob
+    m = prob.nvars
+    lb = prob.lb.copy()
+    ub = prob.ub.copy()
+    obj = prob.obj.copy()
+    offset = 0.0
+    # dense working copies (problem-level presolve; one-off cost)
+    D = prob.lp.dense(m)
+    lhs = prob.lp.lhs.copy()
+    rhs = prob.lp.rhs.copy()
+    A = [blk.dense_coeff(m) for blk in prob.blocks]
+    C = [blk.dense_const() for blk in prob.blocks]
+    alive_rows = np.ones(prob.lp.nrows, dtype=bool)
+    alive = np.ones(m, dtype=bool)
+    ops = []
+
+    def eliminate(i, alpha, j, beta):
+        """y_i := alpha * y_j + beta  (alpha = 0, j = -1 for a fixing)."""
+        nonlocal offset
+        for k in range(len(A)):
+            Ai = A[k][i].copy()
+            if alpha != 0.0:
+                A[k][j] += alpha * Ai
+            C[k] -= beta * Ai
+            A[k][i] = 0.0
+        di = D[:, i].copy()
+        if alpha != 0.0:
+            D[:, j] += alpha * di
+        fin = lhs > -INF / 2
+        lhs[fin] -= beta * di[fin]
+        fin = rhs < INF / 2
+        rhs[fin] -= beta * di[fin]
+        D[:, i] = 0.0
+        if alpha != 0.0:
+            obj[j] += alpha * obj[i]
+        offset += beta * obj[i]
+        obj[i] = 0.0
+        alive[i] = False
+        ops.append((i, alpha, j, beta))
+
+    changed = True
+    while changed:
+        changed = False
+        # fixed variables
+        for i in np.where(alive & (ub - lb <= feastol)
+                          & (lb > -INF / 2))[0]:
+            eliminate(int(i), 0.0, -1, 0.5 * (lb[i] + ub[i]))
+            changed = True
+        if not aggregate:
+            break
+        # doubleton equalities over two live variables
+        for r in np.where(alive_rows)[0]:
+            if not (lhs[r] > -INF / 2 and rhs[r] < INF / 2
+                    and abs(lhs[r] - rhs[r]) <= feastol):
+                continue
+            nz = np.where(alive & (np.abs(D[r]) > 1e-12))[0]
+            if len(nz) != 2:
+                continue
+            # eliminate a continuous variable (keeps integrality intact)
+            cand = [v for v in nz if not prob.integral[v]]
+            if not cand:
+                continue
+            i = int(cand[0])
+            j = int(nz[0] if nz[1] == i else nz[1])
+            a, b = D[r, i], D[r, j]
+            alpha, beta = -b / a, rhs[r] / a
+            # transfer y_i's bounds onto y_j: alpha y_j + beta in [l_i,u_i]
+            if alpha > 0:
+                if lb[i] > -INF / 2:
+                    lb[j] = max(lb[j], (lb[i] - beta) / alpha)
+                if ub[i] < INF / 2:
+                    ub[j] = min(ub[j], (ub[i] - beta) / alpha)
+            elif alpha < 0:
+                if lb[i] > -INF / 2:
+                    ub[j] = min(ub[j], (lb[i] - beta) / alpha)
+                if ub[i] < INF / 2:
+                    lb[j] = max(lb[j], (ub[i] - beta) / alpha)
+            else:  # b == 0: row fixes y_i
+                if not (lb[i] - feastol <= beta <= ub[i] + feastol):
+                    continue   # conflict surfaces at solve time
+            eliminate(i, alpha, j, beta)
+            alive_rows[r] = False
+            changed = True
+
+    if ops and not alive.any():
+        # keep one variable so the reduced problem stays well-formed; its
+        # contributions are already folded into the constant data, so it
+        # survives as a zero-coefficient variable pinned to its value
+        i, alpha, j, beta = ops.pop()
+        alive[i] = True
+        lb[i] = ub[i] = beta   # it was a fixing (aggregations keep j alive)
+    if not ops:
+        return prob
+    keep = np.where(alive)[0]
+    colmap = -np.ones(m, dtype=np.int64)
+    colmap[keep] = np.arange(len(keep))
+
+    blocks = []
+    for k, blk in enumerate(prob.blocks):
+        Ak = A[k][keep]
+        nzv, nzr, nzc = np.nonzero(np.abs(Ak) > 1e-14)
+        tri = nzr >= nzc
+        cr, cc = np.nonzero(np.abs(C[k]) > 1e-14)
+        ctri = cr >= cc
+        blocks.append(SDPBlock(
+            size=blk.size,
+            var=nzv[tri].astype(np.int32), row=nzr[tri].astype(np.int32),
+            col=nzc[tri].astype(np.int32), val=Ak[nzv, nzr, nzc][tri],
+            const_row=cr[ctri].astype(np.int32),
+            const_col=cc[ctri].astype(np.int32),
+            const_val=C[k][cr, cc][ctri],
+            rank1=blk.rank1))
+    rows = []
+    for r in np.where(alive_rows)[0]:
+        nz = np.where(np.abs(D[r, keep]) > 1e-14)[0]
+        if len(nz) == 0:
+            continue
+        rows.append((list(nz), list(D[r, keep][nz]),
+                     float(lhs[r]), float(rhs[r])))
+    return dataclasses.replace(
+        prob,
+        nvars=len(keep),
+        obj=obj[keep],
+        lb=lb[keep],
+        ub=ub[keep],
+        integral=prob.integral[keep],
+        blocks=blocks,
+        lp=LinearConstraints.from_rows(rows),
+        objoffset=prob.objoffset + prob.objsense * offset,
+        varnames=([prob.varnames[int(i)] for i in keep]
+                  if prob.varnames is not None else None),
+        postsolve=(m, keep, ops),
+    )
+
+
+def postsolve_solution(prob: MISDP, y: np.ndarray) -> np.ndarray:
+    """Map a reduced-space solution back to the original variable space."""
+    if prob.postsolve is None:
+        return y
+    m_orig, keep, ops = prob.postsolve
+    out = np.zeros(m_orig)
+    out[keep] = y[: len(keep)]
+    for (i, alpha, j, beta) in reversed(ops):
+        out[i] = (alpha * out[j] if j >= 0 else 0.0) + beta
+    return out
+
+
 def presolve_problem(prob: MISDP, settings) -> MISDP:
     """Apply the enabled problem-level transformations."""
     pres = settings.presolve
+    if pres.fixvars or pres.aggregate:
+        prob = fix_and_aggregate(prob, aggregate=pres.aggregate,
+                                 feastol=settings.bb.feastol * 1e-3)
     if prob.quadcons:
         # quadratic constraints -> rank-1 SDP lifting (consQuadConsUpgdSdp
         # role; always on here — see core/quadupgrade.py design note)

@@ -211,6 +211,10 @@ class MISDP:
     # variable w standing for y_i * y_j; enforced by McCormick cuts +
     # spatial branching in the B&B loop
     liftinfo: Optional[List[Tuple[int, int, int]]] = None
+    # postsolve record of variable eliminations (fix_and_aggregate):
+    # (orig_nvars, keep_indices, ops) — ops applied in reverse to map a
+    # solution of the reduced problem back to the original variable space
+    postsolve: Optional[tuple] = None
     name: str = "misdp"
     varnames: Optional[List[str]] = None
     # objsense/objscale/objoffset map internal min-form values back to the

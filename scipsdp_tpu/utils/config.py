@@ -120,6 +120,11 @@ class PresolveSettings:
     twominorprodconss: bool = False  # DEFAULT_TWOMINORPRODCONSS
     twominorvarbounds: bool = True  # DEFAULT_TWOMINORVARBOUNDS
     tightenmatrices: bool = False   # DEFAULT_TIGHTENMATRICES
+    fixvars: bool = True            # eliminate fixed variables from the
+                                    # problem image (fixAndAggrVars /
+                                    # SdpVarfixer role)
+    aggregate: bool = True          # doubleton-equality aggregation
+                                    # (multiaggrVar role)
     # 0: generated linear rows only propagate (LP mode also separates);
     # 1: rows join the relaxation (DEFAULT_PRESOLLINCONSSPARAM = 0)
     presollinconssparam: int = 0

@@ -195,3 +195,60 @@ def test_proprows_routed_by_mode():
     # ub = (1, 0) forces y0 >= 1
     lb, ub, c = tighten_bounds(out_sdp, np.zeros(2), np.array([1.0, 0.0]))
     assert not c and lb[0] >= 1.0 - 1e-9
+
+
+def test_fix_and_aggregate():
+    from scipsdp_tpu.core.presolve_sdp import (fix_and_aggregate,
+                                               postsolve_solution)
+    # y0 fixed at 2; y1 + y2 == 3 aggregates continuous y1 = 3 - y2
+    blk = SDPBlock(size=2, var=[0, 1, 2], row=[0, 1, 1], col=[0, 1, 1],
+                   val=[1.0, 1.0, 2.0],
+                   const_row=[0, 1], const_col=[0, 1],
+                   const_val=[1.0, 2.0])
+    lp = LinearConstraints.from_rows([([1, 2], [1.0, 1.0], 3.0, 3.0)])
+    prob = MISDP(nvars=3, obj=np.array([1.0, 1.0, 2.0]),
+                 lb=np.array([2.0, 0.0, 0.0]),
+                 ub=np.array([2.0, 10.0, 10.0]),
+                 integral=np.array([False, False, True]),
+                 blocks=[blk], lp=lp, name="agg")
+    red = fix_and_aggregate(prob, aggregate=True)
+    assert red.nvars == 1            # only y2 remains
+    assert red.postsolve is not None
+    # block entry (1,1): y1 + 2 y2 - 2 >= 0 -> (3 - y2) + 2 y2 - 2
+    #                  = y2 + 1 >= 0;   (0,0): y0 - 1 = 1 (constant, PSD ok)
+    A = red.blocks[0].dense_coeff(1)
+    C = red.blocks[0].dense_const()
+    assert abs(A[0, 1, 1] - 1.0) < 1e-12
+    assert abs(C[1, 1] - (-1.0)) < 1e-12    # -(3 - 2) + 2 = ... folded
+    assert abs(C[0, 0] - (-1.0)) < 1e-12    # 1 - y0*1 = 1 - 2 = -1
+    # objective: 1*y0 + 1*y1 + 2*y2 = 2 + (3 - y2) + 2 y2 = 5 + y2
+    assert abs(red.obj[0] - 1.0) < 1e-12
+    assert abs(red.objoffset - 5.0) < 1e-12
+    # bounds of y1 transferred: 3 - y2 in [0, 10] -> y2 in [-7, 3] & [0,10]
+    assert red.lb[0] >= -7.0 - 1e-9 and red.ub[0] <= 3.0 + 1e-9
+    # postsolve reconstructs the full point
+    y = postsolve_solution(red, np.array([1.5]))
+    np.testing.assert_allclose(y, [2.0, 1.5, 1.5])
+
+
+def test_fix_and_aggregate_solve_parity():
+    from scipsdp_tpu.core.branchbound import solve_misdp
+    # same problem solved with and without aggregation must agree
+    blk = SDPBlock(size=2, var=[1, 2], row=[0, 1], col=[0, 1],
+                   val=[1.0, 1.0],
+                   const_row=[0, 1], const_col=[0, 1],
+                   const_val=[1.0, 1.0])
+    lp = LinearConstraints.from_rows([([1, 2], [1.0, 1.0], 4.0, 4.0)])
+    prob = MISDP(nvars=3, obj=np.array([0.0, 1.0, 2.0]),
+                 lb=np.array([1.0, 0.0, 0.0]),
+                 ub=np.array([1.0, 10.0, 10.0]),
+                 integral=np.array([False, False, True]),
+                 blocks=[blk], lp=lp, name="aggsolve")
+    r1 = solve_misdp(prob, Settings(
+        presolve=PresolveSettings(fixvars=False, aggregate=False)))
+    r2 = solve_misdp(prob, Settings(
+        presolve=PresolveSettings(fixvars=True, aggregate=True)))
+    assert abs(r1.objval - r2.objval) < 1e-5
+    assert r2.best_y.shape == (3,)
+    # reconstructed solution satisfies the equality row
+    assert abs(r2.best_y[1] + r2.best_y[2] - 4.0) < 1e-5

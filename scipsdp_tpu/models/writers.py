@@ -92,6 +92,116 @@ def write_sdpa(prob: MISDP, path: str) -> None:
         f.write("\n".join(lines) + "\n")
 
 
+def write_cip(prob: MISDP, path: str) -> None:
+    """Write SCIP's CIP format (the subset read by reader_cip.py —
+    cons_sdp.c's consPrintSdp:8714 syntax for SDP blocks, SCIP linear /
+    quadratic / indicator constraint print formats)."""
+    def vname(j):
+        return (prob.varnames[j] if prob.varnames is not None
+                else f"x{j}")
+
+    def btok(x):
+        if x >= INF:
+            return "+inf"
+        if x <= -INF:
+            return "-inf"
+        return repr(float(x))
+
+    lines = ["STATISTICS", f"  Problem name: {prob.name}",
+             "OBJECTIVE", "  Sense: minimize", "VARIABLES"]
+    for j in range(prob.nvars):
+        vtype = "integer" if prob.integral[j] else "continuous"
+        if prob.integral[j] and prob.lb[j] == 0.0 and prob.ub[j] == 1.0:
+            vtype = "binary"
+        lines.append(
+            f"  [{vtype}] <{vname(j)}>: obj={float(prob.obj[j])!r}, "
+            f"original bounds=[{btok(prob.lb[j])},{btok(prob.ub[j])}]")
+    lines.append("CONSTRAINTS")
+    tag = {True: "I", False: "C"}
+
+    D = prob.lp.dense(prob.nvars)
+    ind_rows = {l.row for l in prob.indicators}
+    for i in range(prob.lp.nrows):
+        if i in ind_rows:
+            continue   # emitted through the [indicator] constraint below
+        terms = "".join(
+            f" {'+' if D[i, j] >= 0 else '-'}{abs(float(D[i, j]))!r}"
+            f"<{vname(j)}>[{tag[bool(prob.integral[j])]}]"
+            for j in np.nonzero(D[i])[0])
+        lo, hi = prob.lp.lhs[i], prob.lp.rhs[i]
+        if lo > -INF and hi < INF and lo == hi:
+            lines.append(f"  [linear] <lin{i}>:{terms} == {float(lo)!r};")
+        elif lo > -INF and hi < INF:
+            lines.append(f"  [linear] <lin{i}>: {float(lo)!r} <={terms} "
+                         f"<= {float(hi)!r};")
+        elif lo > -INF:
+            lines.append(f"  [linear] <lin{i}>:{terms} >= {float(lo)!r};")
+        else:
+            lines.append(f"  [linear] <lin{i}>:{terms} <= {float(hi)!r};")
+
+    for k, blk in enumerate(prob.blocks):
+        ctype = "SDPrank1" if blk.rank1 else "SDP"
+        parts = [f"  [{ctype}] <sdp{k}>: {blk.size}"]
+        parts.append(f"    rank-1? {1 if blk.rank1 else 0}")
+        centries = ", ".join(
+            f"({r},{c}):{float(v)!r}" for r, c, v in
+            zip(blk.const_row, blk.const_col, blk.const_val))
+        parts.append(f"    A_0: {centries}")
+        per_var = {}
+        for v, r, c, val in zip(blk.var, blk.row, blk.col, blk.val):
+            per_var.setdefault(int(v), []).append((int(r), int(c),
+                                                   float(val)))
+        for v, ents in sorted(per_var.items()):
+            es = ", ".join(f"({r},{c}):{val!r}" for r, c, val in ents)
+            parts.append(f"    <{vname(v)}>: {es}")
+        lines.append("\n".join(parts) + ";")
+
+    for qi, qc in enumerate(prob.quadcons):
+        terms = []
+        for r, c, v in zip(qc.qrow, qc.qcol, qc.qval):
+            s = "+" if v >= 0 else "-"
+            if r == c:
+                terms.append(f"{s}{abs(float(v))!r}"
+                             f"<{vname(int(r))}>[{tag[bool(prob.integral[r])]}]^2")
+            else:
+                terms.append(
+                    f"{s}{abs(float(v))!r}"
+                    f"<{vname(int(r))}>[{tag[bool(prob.integral[r])]}]"
+                    f"<{vname(int(c))}>[{tag[bool(prob.integral[c])]}]")
+        for j, v in zip(qc.lin_ind, qc.lin_val):
+            s = "+" if v >= 0 else "-"
+            terms.append(f"{s}{abs(float(v))!r}"
+                         f"<{vname(int(j))}>[{tag[bool(prob.integral[j])]}]")
+        body = " ".join(terms)
+        if qc.lhs > -INF and qc.rhs < INF and qc.lhs == qc.rhs:
+            lines.append(f"  [quadratic] <q{qi}>: {body} == {float(qc.lhs)!r};")
+        elif qc.lhs > -INF:
+            lines.append(f"  [quadratic] <q{qi}>: {body} >= {float(qc.lhs)!r};")
+        else:
+            lines.append(f"  [quadratic] <q{qi}>: {body} <= {float(qc.rhs)!r};")
+
+    for li, link in enumerate(prob.indicators):
+        lines.append(f"  [indicator] <ind{li}>: <{vname(link.binvar)}> = 1 "
+                     f"-> <{vname(link.slackvar)}> = 0;")
+        if link.row >= 0:
+            i = link.row
+            terms = "".join(
+                f" {'+' if D[i, j] >= 0 else '-'}{abs(float(D[i, j]))!r}"
+                f"<{vname(j)}>[{tag[bool(prob.integral[j])]}]"
+                for j in np.nonzero(D[i])[0])
+            lo, hi = prob.lp.lhs[i], prob.lp.rhs[i]
+            if lo > -INF:
+                lines.append(f"  [linear] <indlin{li}>:{terms} "
+                             f">= {float(lo)!r};")
+            else:
+                lines.append(f"  [linear] <indlin{li}>:{terms} "
+                             f"<= {float(hi)!r};")
+
+    lines.append("END")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def write_cbf(prob: MISDP, path: str) -> None:
     """Write CBF version 1 (reader_cbf.c CBFwrite analog).
 

@@ -28,6 +28,8 @@ def format_relax_statistics(stats, iface=None) -> str:
     row("cutting planes", stats.ncuts)
     row("separation rounds", stats.sep_rounds)
     row("redcost bound tightenings", stats.redcost_tightenings)
+    if getattr(stats, "roundingprobinf", 0):
+        row("rounding-problem cutoffs", stats.roundingprobinf)
     row("relaxation solve time (s)", f"{stats.solve_time:.2f}")
     row("wall time (s)", f"{stats.wall_time:.2f}")
     if iface is not None:

@@ -75,3 +75,58 @@ def test_cbf_roundtrip_rank1(tmp_path):
     assert sum(b.rank1 for b in back.blocks) == sum(
         b.rank1 for b in orig.blocks)
     np.testing.assert_allclose(_root_obj(back), _root_obj(orig), atol=1e-4)
+
+
+def test_cip_roundtrip(tmp_path):
+    """write_cip -> read_cip preserves the problem (readwrite.c analog)."""
+    import numpy as np
+
+    from scipsdp_tpu.models.io import read_problem
+    from scipsdp_tpu.models.reader_cip import read_cip
+    from scipsdp_tpu.models.writers import write_cip
+
+    prob = read_problem("/root/reference/instances/example_small.dat-s")
+    p = str(tmp_path / "rt.cip")
+    write_cip(prob, p)
+    back = read_cip(p)
+    assert back.nvars == prob.nvars
+    assert back.nblocks == prob.nblocks
+    np.testing.assert_allclose(back.obj, prob.obj)
+    np.testing.assert_allclose(back.lb, prob.lb)
+    np.testing.assert_allclose(back.ub, prob.ub)
+    for b1, b2 in zip(prob.blocks, back.blocks):
+        np.testing.assert_allclose(b1.dense_coeff(prob.nvars),
+                                   b2.dense_coeff(back.nvars))
+        np.testing.assert_allclose(b1.dense_const(), b2.dense_const())
+
+
+def test_cip_roundtrip_quadratic_indicator(tmp_path):
+    import numpy as np
+
+    from scipsdp_tpu.models.problem import (INF, IndicatorLink,
+                                            LinearConstraints, MISDP,
+                                            QuadConstraint)
+    from scipsdp_tpu.models.reader_cip import read_cip
+    from scipsdp_tpu.models.writers import write_cip
+
+    lp = LinearConstraints.from_rows([([0, 2], [1.0, 1.0], 2.0, INF)])
+    prob = MISDP(
+        nvars=3, obj=np.array([1.0, 0.0, 0.0]),
+        lb=np.zeros(3), ub=np.array([4.0, 1.0, INF]),
+        integral=np.array([False, True, False]), blocks=[],
+        lp=lp,
+        indicators=[IndicatorLink(binvar=1, slackvar=2, row=0)],
+        quadcons=[QuadConstraint(lin_ind=[1], lin_val=[-0.5], qrow=[0, 0],
+                                 qcol=[0, 1], qval=[2.0, 1.0],
+                                 lhs=-INF, rhs=3.0)],
+        name="qi")
+    p = str(tmp_path / "qi.cip")
+    write_cip(prob, p)
+    back = read_cip(p)
+    assert len(back.quadcons) == 1
+    qc = back.quadcons[0]
+    np.testing.assert_allclose(sorted(qc.qval), [1.0, 2.0])
+    assert qc.rhs == 3.0 and list(qc.lin_val) == [-0.5]
+    assert len(back.indicators) == 1
+    assert back.indicators[0].binvar == 1
+    assert back.lp.nrows == 1

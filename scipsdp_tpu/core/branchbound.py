@@ -143,6 +143,17 @@ class _Solver:
         self.dense: DenseSDPData = densify(prob)
         self.m = prob.nvars
         self.lp_mode = settings.solve_sdps == 0
+        mesh = None
+        if settings.use_mesh:
+            import jax as _jax
+            from scipsdp_tpu.parallel.mesh import make_mesh
+            ndev = len(_jax.devices())
+            if ndev > 1:
+                axes = (("nodes", "blocks")
+                        if ndev % 2 == 0 and len(prob.blocks) > 1
+                        else ("nodes",))
+                mesh = make_mesh(ndev, axes)
+        self.mesh = mesh
         if self.lp_mode:
             # LP relaxation data: same rows/bounds, no SDP blocks
             lp_dense = densify(
@@ -151,14 +162,14 @@ class _Solver:
                       lp=prob.lp, indicators=prob.indicators,
                       name=prob.name + "_lp"))
             pairs = [(l.binvar, l.slackvar) for l in prob.indicators]
-            self.iface = SDPInterface(lp_dense, settings)
+            self.iface = SDPInterface(lp_dense, settings, mesh=mesh)
             # full data (for separation + feasibility checks)
             self.full_iface = SDPInterface(self.dense, settings,
-                                           indicator_pairs=pairs)
+                                           indicator_pairs=pairs, mesh=mesh)
         else:
             pairs = [(l.binvar, l.slackvar) for l in prob.indicators]
             self.iface = SDPInterface(self.dense, settings,
-                                      indicator_pairs=pairs)
+                                      indicator_pairs=pairs, mesh=mesh)
             self.full_iface = self.iface
         self.pool: List[Tuple[np.ndarray, float]] = []  # global cuts
         self._pool_keys = set()
@@ -453,6 +464,12 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
 
     m_user = prob.nvars   # report solutions in the user's variable space
     sol = _Solver(prob, settings)
+    if sol.mesh is not None:
+        # the node-batch axis must divide the mesh's "nodes" axis
+        nodes_ax = sol.mesh.shape["nodes"]
+        if bb.batch_size % nodes_ax:
+            bb = dataclasses.replace(
+                bb, batch_size=_round_up(bb.batch_size, nodes_ax))
     prob = sol.prob       # presolve may lift (quad upgrade) or shrink
     m = prob.nvars        # (fix_and_aggregate) the problem
 

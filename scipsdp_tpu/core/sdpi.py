@@ -93,8 +93,16 @@ class SDPInterface:
     """
 
     def __init__(self, dense: DenseSDPData, settings: Optional[Settings] = None,
-                 indicator_pairs=None):
+                 indicator_pairs=None, mesh=None):
         self.settings = settings or Settings()
+        if self.settings.ipm.step_rule == "auto":
+            # backend-dependent default (see IPMSettings.step_rule)
+            backend = jax.default_backend()
+            rule = "eigh" if backend == "cpu" else "power"
+            self.settings = dataclasses.replace(
+                self.settings,
+                ipm=dataclasses.replace(self.settings.ipm, step_rule=rule))
+        self.mesh = mesh
         self.dense = dense
         self.data: IPMData = build_ipm_data(dense)
         self.m = dense.nvars
@@ -111,6 +119,24 @@ class SDPInterface:
             if indicator_pairs is not None and len(indicator_pairs)
             else np.zeros((0, 2), np.int32))
         self._fused = jax.jit(self._fused_impl)
+        # multi-chip: shard the problem image over the "blocks" axis and
+        # every per-node array over the "nodes" axis; XLA propagates the
+        # shardings through the fused executable and inserts the psum /
+        # all-gather collectives for the cross-block Schur reductions
+        # (SURVEY.md section 2.5 scale-out contract)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from scipsdp_tpu.parallel.mesh import data_sharding
+            self.data = jax.device_put(self.data,
+                                       data_sharding(mesh, self.data))
+            if self._mp:
+                self.data32 = jax.device_put(
+                    self.data32, data_sharding(mesh, self.data32))
+            self._nodes_sharding = {
+                1: NamedSharding(mesh, PartitionSpec("nodes")),
+                2: NamedSharding(mesh, PartitionSpec("nodes", None)),
+                3: NamedSharding(mesh, PartitionSpec("nodes", None, None)),
+            }
         # statistics (the relaxator's counters, relax_sdp.c:166-235)
         self.stat_nsolves = 0
         self.stat_iterations = 0
@@ -123,6 +149,16 @@ class SDPInterface:
     def _extend(self, arr: np.ndarray, val: float) -> np.ndarray:
         B = arr.shape[0]
         return np.concatenate([arr, np.full((B, 1), val)], axis=1)
+
+    def _put(self, arr):
+        """Move a per-node array to the device(s), sharded over "nodes"
+        when a mesh is attached."""
+        if arr is None:
+            return None
+        a = jnp.asarray(arr)
+        if self.mesh is None:
+            return a
+        return jax.device_put(a, self._nodes_sharding[a.ndim])
 
     @staticmethod
     def _mask_decided(lbx, ubx, active):
@@ -148,17 +184,13 @@ class SDPInterface:
         if cuts is None:
             cargs = (None, None, None)
         else:
-            cargs = (jnp.asarray(cuts[0]), jnp.asarray(cuts[1]),
-                     jnp.asarray(cuts[2]))
+            cargs = (self._put(cuts[0]), self._put(cuts[1]),
+                     self._put(cuts[2]))
         key = jax.random.PRNGKey(0)
-        if f32:
-            out, _, _, _ = self._fused(self.data32, jnp.asarray(b),
-                                       jnp.asarray(lb), jnp.asarray(ub),
-                                       key, *cargs, warm_y, warm_mask)
-        else:
-            out, _, _, _ = self._fused(self.data, jnp.asarray(b),
-                                       jnp.asarray(lb), jnp.asarray(ub),
-                                       key, *cargs, warm_y, warm_mask)
+        dat = self.data32 if f32 else self.data
+        out, _, _, _ = self._fused(dat, self._put(b), self._put(lb),
+                                   self._put(ub), key, *cargs,
+                                   self._put(warm_y), warm_mask)
         return out
 
     def _fused_impl(self, data, b, lb, ub, key, Gcut=None, hcut=None,
@@ -291,18 +323,18 @@ class SDPInterface:
         round_y = round_feas = round_val = None
         wy = wm = None
         if warm is not None:
-            wy = jnp.asarray(self._extend(np.asarray(warm[0]), 0.0))
-            wm = jnp.asarray(np.asarray(warm[1], dtype=bool))
+            wy = self._put(self._extend(np.asarray(warm[0]), 0.0))
+            wm = self._put(np.asarray(warm[1], dtype=bool))
         if rounding_seed is not None:
             self.stat_nsolves += 1
             key = jax.random.PRNGKey(rounding_seed)
             cargs = ((None, None, None) if cuts is None else
-                     (jnp.asarray(cuts[0]), jnp.asarray(cuts[1]),
-                      jnp.asarray(cuts[2])))
+                     (self._put(cuts[0]), self._put(cuts[1]),
+                      self._put(cuts[2])))
             dat = self.data32 if self._mp else self.data
             out, ry, rf, rv = self._fused(
-                dat, jnp.asarray(bmat), jnp.asarray(lbx),
-                jnp.asarray(ubx), key, *cargs, wy, wm)
+                dat, self._put(bmat), self._put(lbx),
+                self._put(ubx), key, *cargs, wy, wm)
             round_y = np.asarray(ry)
             round_feas = np.asarray(rf)
             round_val = np.asarray(rv)

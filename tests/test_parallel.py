@@ -53,3 +53,14 @@ def test_partition_root_covers_box():
 def test_sync_bounds_single_process():
     inc, bound, loads = sync_bounds(-5.0, -7.0, 3)
     assert inc == -5.0 and bound == -7.0 and loads.tolist() == [3]
+
+
+def test_bb_with_mesh_matches_single():
+    """use_mesh=True runs the whole B&B with node batches sharded over the
+    8-device mesh and reproduces the optimum."""
+    from scipsdp_tpu.utils.config import BBSettings, Settings
+
+    prob = read_problem(os.path.join(INSTANCES, "example_small.dat-s"))
+    res = solve_misdp(prob, Settings(use_mesh=True,
+                                     bb=BBSettings(batch_size=8)))
+    assert abs(res.objval - (-8.0)) < 1e-4

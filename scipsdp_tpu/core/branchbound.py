@@ -513,6 +513,23 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         return BBResult(SolveStatus.INFEASIBLE, None, None,
                         prob.external_objval(np.inf), 0.0, stats)
 
+    # optional root inner-approximation LP heuristic (heur_sdpinnerlp.c)
+    if bb.heuristic_innerlp:
+        from scipsdp_tpu.core.probing import inner_lp_point
+        y_in, ok_in = inner_lp_point(prob, settings)
+        if ok_in and y_in is not None:
+            okc, _ = check_points(sol.full_iface.data, y_in[None, :],
+                                  root_lb[None, :], root_ub[None, :],
+                                  feastol=feastol)
+            if (bool(np.asarray(okc)[0])
+                    and _violated_indicator(prob, y_in, feastol) < 0
+                    and not _lift_violated(prob, y_in, feastol)
+                    and (not has_rank1 or r1.rank1_violation(
+                        sol.dense, y_in, feastol) is None)):
+                incumbent_val = float(obj @ y_in)
+                incumbent_y = y_in.copy()
+                stats.heur_found += 1
+
     # optional root OBBT (prop_sdpobbt.c)
     if bb.obbt_at_root and not sol.lp_mode:
         from scipsdp_tpu.core.probing import obbt_root

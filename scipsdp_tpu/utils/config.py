@@ -94,6 +94,9 @@ class BBSettings:
                                    # (TPU analog of concurrent solvers,
                                    # sdpi.c:2144 SCIPsdpiClone portfolio)
     heuristic_fracround: bool = True  # heur_sdpfracround.c analog
+    heuristic_innerlp: bool = False   # heur_sdpinnerlp.c analog (root
+                                      # diagonally-dominant inner LP;
+                                      # reference HEUR_FREQ = -1: off)
     diving_freq: int = 0           # heur_sdpfracdiving batched dives every
                                    # N batches (0 = off)
     obbt_at_root: bool = False     # prop_sdpobbt root tightening

@@ -207,3 +207,14 @@ def test_slater_check_primal():
                 ub=np.full(1, INF), integral=np.zeros(1, bool),
                 blocks=[blk], lp=LinearConstraints.empty(), name="nps")
     assert slater_check_primal(bad, Settings(), bad.lb, bad.ub) == 0
+
+
+def test_innerlp_heuristic_in_bb():
+    from scipsdp_tpu.core.branchbound import solve_misdp
+    from scipsdp_tpu.models.io import read_problem
+    from scipsdp_tpu.utils.config import BBSettings, Settings
+
+    prob = read_problem("/root/reference/instances/example_small.dat-s")
+    res = solve_misdp(prob, Settings(bb=BBSettings(
+        batch_size=4, heuristic_innerlp=True)))
+    assert abs(res.objval - (-8.0)) < 1e-4

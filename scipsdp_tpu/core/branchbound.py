@@ -32,8 +32,6 @@ Other plugin roles folded in:
 from __future__ import annotations
 
 import dataclasses
-import heapq
-import itertools
 import os
 import time
 from typing import List, Optional, Tuple
@@ -425,8 +423,8 @@ def save_checkpoint(path: str, frontier, incumbent_val, incumbent_y,
                     stats: BBStats) -> None:
     """Serialize the B&B frontier + incumbent (the reference has no solve-
     level checkpointing, SURVEY.md section 5 — this adds it)."""
-    nodes = [(node.lb, node.ub, node.bound, node.depth)
-             for _, _, node in frontier]
+    nodes = [(nlb, nub, side[0], ndepth)
+             for (nlb, nub, _prio, ndepth, side) in frontier.dump()]
     np.savez_compressed(
         path,
         lbs=np.array([n[0] for n in nodes]) if nodes else np.zeros((0, 0)),
@@ -540,26 +538,32 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 bb.batch_size, feastol)
             stats.redcost_tightenings += nt
 
-    counter = itertools.count()
-    frontier: List[Tuple[float, int, _Node]] = []
+    from scipsdp_tpu.native.frontier import FrontierStore
+
+    def _push_node(node: _Node, prio: float) -> None:
+        frontier.push(node.lb, node.ub, prio, node.depth,
+                      side=(node.bound, node.cuts, node.requeues,
+                            node.ysol, node.xsol))
+
+    # native slab-allocated node pool (SCIP-core tree-management role;
+    # scipsdp_tpu/native/frontier.cpp), Python-heap fallback
+    frontier = FrontierStore(m)
     if resume and checkpoint is not None and os.path.exists(checkpoint):
         nodes_ck, inc_v, inc_y, nproc = load_checkpoint(checkpoint)
         incumbent_val = inc_v
         incumbent_y = inc_y
         stats.nodes = nproc
         for nlb, nub, nbound, ndepth in nodes_ck:
-            heapq.heappush(frontier, (nbound, next(counter),
-                                      _Node(nlb, nub, nbound, ndepth)))
-        if not frontier and incumbent_y is None:
+            _push_node(_Node(nlb, nub, nbound, ndepth), nbound)
+        if not len(frontier) and incumbent_y is None:
             resume = False
-    if not frontier and (not resume or incumbent_y is None):
-        heapq.heappush(frontier, (-np.inf, next(counter),
-                                  _Node(root_lb, root_ub, -np.inf, 0)))
+    if not len(frontier) and (not resume or incumbent_y is None):
+        _push_node(_Node(root_lb, root_ub, -np.inf, 0), -np.inf)
 
     unbounded = False
     hit_limit: Optional[SolveStatus] = None
 
-    while frontier:
+    while len(frontier):
         if stats.nodes >= bb.node_limit:
             hit_limit = SolveStatus.NODE_LIMIT
             break
@@ -574,14 +578,16 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                           * abs(incumbent_val if np.isfinite(incumbent_val)
                                 else 0.0))
         batch: List[_Node] = []
-        while frontier and len(batch) < bb.batch_size:
-            _, _, node = heapq.heappop(frontier)
-            if node.bound >= incumbent_val - prune_slack:  # late bound pruning
-                continue
-            batch.append(node)
-            if bb.node_selection == "dfs" and len(batch) >= max(
-                    1, bb.batch_size // 4):
-                break  # DFS: smaller batches, dive down quickly
+        cap = (max(1, bb.batch_size // 4) if bb.node_selection == "dfs"
+               else bb.batch_size)   # DFS: smaller batches, dive quickly
+        while len(frontier) and len(batch) < cap:
+            for (nlb, nub, _prio, ndepth, side) in frontier.pop_upto(
+                    cap - len(batch)):
+                nbound, ncuts, nreq, nysol, nxsol = side
+                if nbound >= incumbent_val - prune_slack:
+                    continue   # late bound pruning
+                batch.append(_Node(nlb, nub, nbound, ndepth, ncuts, nreq,
+                                   nysol, nxsol))
         if not batch:
             break
 
@@ -766,9 +772,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                 sol._separate(y[None, :], 1)
                                 node.bound = bound
                                 node.requeues += 1
-                                heapq.heappush(
-                                    frontier,
-                                    (bound, next(counter), node))
+                                _push_node(node, bound)
                             continue
                     if enforce_ind < 0 and spatial is None and prob.liftinfo:
                         # bilinear-lift enforcement (quad upgrade): find the
@@ -1019,17 +1023,15 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 if np.all(clb <= cub + feastol):
                     prio = (bound if bb.node_selection != "dfs"
                             else -float(node.depth + 1))
-                    heapq.heappush(
-                        frontier,
-                        (prio, next(counter),
-                         _Node(clb, cub, bound, node.depth + 1, ccuts,
-                               ysol=(y.copy() if y is not None
-                                     and bb.warmstart else None),
-                               xsol=(sol.node_X(res, i)
-                                     if bb.warmstart
-                                     and bb.warmstartproject == 4
-                                     and y is not None else None))),
-                    )
+                    _push_node(
+                        _Node(clb, cub, bound, node.depth + 1, ccuts,
+                              ysol=(y.copy() if y is not None
+                                    and bb.warmstart else None),
+                              xsol=(sol.node_X(res, i)
+                                    if bb.warmstart
+                                    and bb.warmstartproject == 4
+                                    and y is not None else None)),
+                        prio)
 
         if (checkpoint is not None
                 and stats.relax_solves % max(checkpoint_every, 1) == 0):
@@ -1043,7 +1045,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 print(f"{'nodes':>7} {'open':>6} {'incumbent':>14} "
                       f"{'dualbound':>14} {'sdpiter':>8} {'avgiter':>8} "
                       f"{'pen':>4} {'uns':>4} {'cuts':>5}")
-            fb = frontier[0][0] if frontier else incumbent_val
+            fb = (frontier.best_bound() if len(frontier)
+                  else incumbent_val)
             avg = stats.ipm_iterations / max(stats.relax_solves, 1)
             print(f"{stats.nodes:>7} {len(frontier):>6} "
                   f"{prob.external_objval(incumbent_val):>14.6g} "
@@ -1059,8 +1062,9 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                         -np.inf * prob.objsense, np.inf, stats)
 
     dual_bound_internal = incumbent_val
-    if frontier:
-        dual_bound_internal = min(node.bound for _, _, node in frontier)
+    if len(frontier):
+        dual_bound_internal = min(
+            side[0] for (_, _, _, _, side) in frontier.dump())
     if hit_limit is not None:
         status = hit_limit
         objval = (prob.external_objval(incumbent_val)

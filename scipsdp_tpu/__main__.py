@@ -40,6 +40,16 @@ def main(argv=None) -> int:
                          "(reference settings/*.set work)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard node batches over all visible devices")
+    ap.add_argument("--warmstart", action="store_true",
+                    help="warmstart node solves from the parent solution "
+                         "(relaxing/SDP/warmstart)")
+    ap.add_argument("--innerlp", action="store_true",
+                    help="run the inner-approximation LP heuristic at the "
+                         "root (heur_sdpinnerlp)")
+    ap.add_argument("--diving-freq", type=int, default=0,
+                    help="batched fracdiving every N batches (0 = off)")
     ap.add_argument("-q", "--quiet", action="store_true")
     ap.add_argument("--write", metavar="OUT",
                     help="write the problem to OUT (.dat-s or .cbf)")
@@ -62,9 +72,12 @@ def main(argv=None) -> int:
               f"{len(prob.indicators)} indicator constraint(s)")
 
     if args.write:
-        from scipsdp_tpu.models.writers import write_cbf, write_sdpa
+        from scipsdp_tpu.models.writers import (write_cbf, write_cip,
+                                                write_sdpa)
         if args.write.endswith(".cbf"):
             write_cbf(prob, args.write)
+        elif args.write.endswith(".cip"):
+            write_cip(prob, args.write)
         else:
             write_sdpa(prob, args.write)
         print(f"wrote problem to {args.write}")
@@ -73,8 +86,12 @@ def main(argv=None) -> int:
         ipm=IPMSettings(gaptol=args.gaptol, feastol=args.feastol),
         bb=BBSettings(feastol=args.feastol, node_limit=args.node_limit,
                       time_limit=args.time_limit, batch_size=args.batch_size,
-                      branching_rule=args.branching),
+                      branching_rule=args.branching,
+                      warmstart=args.warmstart,
+                      heuristic_innerlp=args.innerlp,
+                      diving_freq=args.diving_freq),
         solve_sdps=0 if args.lp_approx else 1,
+        use_mesh=args.mesh,
     )
     if args.settings:
         from scipsdp_tpu.utils.paramfile import load_settings_file

@@ -720,7 +720,9 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             if st == SolverResultStatus.UNBOUNDED:
                 unbounded = True
                 continue
-            if st == SolverResultStatus.FAILED:
+            if st in (SolverResultStatus.FAILED,
+                      SolverResultStatus.ITERLIMIT,
+                      SolverResultStatus.TIMELIMIT):
                 stats.nunsolved += 1
                 bound = node.bound  # no new information; keep parent bound
                 y = None

@@ -41,6 +41,11 @@ from scipsdp_tpu.utils.status import SolverResultStatus
 
 BOX_BOUND = 1e7       # artificial box for unboundedness detection
 
+# statuses with no usable bound: the recovery ladder keeps escalating these
+_UNSOLVED_CODES = (int(SolverResultStatus.FAILED),
+                   int(SolverResultStatus.ITERLIMIT),
+                   int(SolverResultStatus.TIMELIMIT))
+
 
 def _merge_outputs(out32, out64, take: np.ndarray):
     """Overwrite rows of a SolveOutput with the escalated f64 results."""
@@ -172,7 +177,7 @@ class SDPInterface:
         return lbm, ubm
 
     def _run(self, b, lb, ub, cuts=None, warm_y=None, warm_mask=None,
-             f32=False):
+             f32=False, gaptol=None):
         """One batched solve through the SINGLE fused executable.
 
         Every recovery-ladder rung reuses the fused solve+rounding graph
@@ -188,13 +193,17 @@ class SDPInterface:
                      self._put(cuts[2]))
         key = jax.random.PRNGKey(0)
         dat = self.data32 if f32 else self.data
+        if gaptol is None:
+            gaptol = np.full(b.shape[0], self.settings.ipm.gaptol)
         out, _, _, _ = self._fused(dat, self._put(b), self._put(lb),
                                    self._put(ub), key, *cargs,
-                                   self._put(warm_y), warm_mask)
+                                   self._put(warm_y), warm_mask,
+                                   self._put(np.asarray(gaptol)))
         return out
 
     def _fused_impl(self, data, b, lb, ub, key, Gcut=None, hcut=None,
-                    cvalid=None, warm_y=None, warm_mask=None):
+                    cvalid=None, warm_y=None, warm_mask=None,
+                    gaptol_vec=None):
         """ipm_solve + fracround/randround candidates + feasibility check,
         all in one jitted graph (one device dispatch)."""
         import jax.numpy as jnp
@@ -206,7 +215,7 @@ class SDPInterface:
         if data.A[0].dtype == jnp.float32:
             s = _dc.replace(s, dtype="float32", chol_reg=1e-9)
         out = ipm_solve(data, b, lb, ub, Gcut, hcut, cvalid,
-                        warm_y, warm_mask, settings=s)
+                        warm_y, warm_mask, gaptol_vec, settings=s)
         m = self.m
         B = b.shape[0]
         y = out.y[:, :m]
@@ -294,14 +303,27 @@ class SDPInterface:
     def solve_batch(self, lb: np.ndarray, ub: np.ndarray,
                     obj: Optional[np.ndarray] = None,
                     cuts=None, rounding_seed: Optional[int] = None,
-                    warm=None) -> BatchSolveResult:
+                    warm=None,
+                    time_limit: Optional[float] = None) -> BatchSolveResult:
         """Solve B node relaxations; lb/ub: (B, m) bounds per node.
 
         ``cuts``: optional (Gcut (B,q,m), hcut (B,q), valid (B,q)) per-node
         linear cut rows  Gcut y >= hcut  in original variable space; the
         penalty column is 1 (cut rows are relaxed by r like LP rows in the
         penalty formulation, sdpisolver.h:237-245).
+
+        ``time_limit``: wall-clock budget in seconds for this call; when
+        exhausted, remaining recovery-ladder rungs are skipped and still-
+        undecided instances get status TIMELIMIT (SCIPsdpiIsTimelimExc
+        analog, sdpi.c:3653-4110).
         """
+        import time as _time
+        t_start = _time.time()
+
+        def out_of_time() -> bool:
+            return (time_limit is not None
+                    and _time.time() - t_start > time_limit)
+
         ipms = self.settings.ipm
         feastol = ipms.feastol
         B = lb.shape[0]
@@ -334,7 +356,8 @@ class SDPInterface:
             dat = self.data32 if self._mp else self.data
             out, ry, rf, rv = self._fused(
                 dat, self._put(bmat), self._put(lbx),
-                self._put(ubx), key, *cargs, wy, wm)
+                self._put(ubx), key, *cargs, wy, wm,
+                self._put(np.full(B, ipms.gaptol)))
             round_y = np.asarray(ry)
             round_feas = np.asarray(rf)
             round_val = np.asarray(rv)
@@ -346,12 +369,12 @@ class SDPInterface:
         # in f64 before the penalty ladder sees them
         if self._mp:
             st32 = np.asarray(out.status)
-            failed32 = st32 == int(SolverResultStatus.FAILED)
+            failed32 = np.isin(st32, _UNSOLVED_CODES)
             if failed32.any():
                 lbq, ubq = self._mask_decided(lbx, ubx, failed32)
                 out64 = self._run(bmat, lbq, ubq, cuts)
                 s64 = np.asarray(out64.status)
-                take = failed32 & (s64 != int(SolverResultStatus.FAILED))
+                take = failed32 & ~np.isin(s64, _UNSOLVED_CODES)
                 out = _merge_outputs(out, out64, take)
 
         status = np.asarray(out.status).copy()
@@ -365,8 +388,8 @@ class SDPInterface:
         nsolves = 1
         npenalty = 0
 
-        failed = status == int(SolverResultStatus.FAILED)
-        if failed.any():
+        failed = np.isin(status, _UNSOLVED_CODES)
+        if failed.any() and not out_of_time():
             # rung 2: feasibility probe (Gamma = 1, objective zero)
             self.stat_nprobes += 1
             ubp = ubx.copy()
@@ -394,36 +417,57 @@ class SDPInterface:
                 xl[proved_infeas] = np.asarray(outp.xl)[proved_infeas]
                 xlb[proved_infeas] = np.asarray(outp.xlb)[proved_infeas, :m]
                 xub[proved_infeas] = np.asarray(outp.xub)[proved_infeas, :m]
-            failed = status == int(SolverResultStatus.FAILED)
+            failed = np.isin(status, _UNSOLVED_CODES)
 
-        if failed.any():
-            # rung 3: penalty rescue with Gamma escalation
-            gamma = ipms.penaltyparam
-            growth = (ipms.maxpenaltyparam / ipms.penaltyparam) ** (
-                1.0 / max(ipms.npenaltyincr, 1)
-            )
+        if failed.any() and not out_of_time():
+            # rung 3: penalty rescue with the reference's escalation rule
+            # (sdpi.c:3497-3599): per instance, Gamma grows toward
+            # maxpenaltyparam and gaptol shrinks toward MIN_GAPTOL; when a
+            # solve converges but its r > feastol (not ``feasorig``), the
+            # primal penalty bound decides which knob moves —
+            # Tr(X) ~ Gamma within PENALTYBOUNDTOL (``penaltybound``, read
+            # off the r-column bound multiplier: xlb_r = Gamma - Tr(X))
+            # means the penalty cap binds, so raise Gamma; otherwise the
+            # solve was just not accurate enough, so tighten gaptol.
+            gamma = np.full(B, ipms.penaltyparam)
+            gtol = np.full(B, ipms.gaptol)
+            if ipms.npenaltyincr > 0:
+                pfact = (ipms.maxpenaltyparam / ipms.penaltyparam) ** (
+                    1.0 / ipms.npenaltyincr)
+                gfact = (ipms.min_gaptol / ipms.gaptol) ** (
+                    1.0 / ipms.npenaltyincr)
+            else:
+                pfact = 2.0 * ipms.maxpenaltyparam / ipms.penaltyparam
+                gfact = 0.5 * ipms.min_gaptol / ipms.gaptol
             bound_only = np.full(B, -np.inf)
             have_bound = np.zeros(B, dtype=bool)
-            stagnant = 0
-            for _ in range(ipms.npenaltyincr + 1):
+            for _ in range(2 * ipms.npenaltyincr + 2):
+                active = (failed
+                          & (gamma < ipms.maxpenaltyparam + ipms.epsilon)
+                          & (gtol > 0.99 * ipms.min_gaptol))
+                if not active.any() or out_of_time():
+                    break
                 bpen = bmat.copy()
                 bpen[:, m] = gamma
                 ubp = ubx.copy()
                 ubp[:, m] = INF
-                lbq, ubq = self._mask_decided(lbx, ubp, failed)
-                outk = self._run(bpen, lbq, ubq, cuts)
+                lbq, ubq = self._mask_decided(lbx, ubp, active)
+                outk = self._run(bpen, lbq, ubq, cuts, gaptol=gtol)
                 nsolves += 1
                 kstat = np.asarray(outk.status)
                 kr = np.asarray(outk.r)
                 kconv = kstat == int(SolverResultStatus.OPTIMAL)
-                feasorig = failed & kconv & (kr <= feastol)
+                # not acceptable -> raise Gamma (sdpi.c:3540-3546)
+                notacc = active & ~kconv
+                gamma[notacc] *= pfact
+                feasorig = active & kconv & (kr <= feastol)
                 if feasorig.any():
                     npenalty += int(feasorig.sum())
                     status[feasorig] = int(SolverResultStatus.OPTIMAL)
                     ky = np.asarray(outk.y)
                     objval[feasorig] = (
                         np.asarray(outk.dobj)[feasorig]
-                        - gamma * kr[feasorig]
+                        - gamma[feasorig] * kr[feasorig]
                     )
                     y[feasorig] = ky[feasorig, :m]
                     for t in range(len(X)):
@@ -431,33 +475,29 @@ class SDPInterface:
                     xl[feasorig] = np.asarray(outk.xl)[feasorig]
                     xlb[feasorig] = np.asarray(outk.xlb)[feasorig, :m]
                     xub[feasorig] = np.asarray(outk.xub)[feasorig, :m]
-                # even without feasorig, a converged penalty solve bounds
-                # the original optimum from below (sdpi.c GetLowerObjbound)
-                usable = failed & kconv & ~feasorig
+                # converged but r > feastol: the penalty objective still
+                # bounds the original optimum from below (sdpi.c
+                # GetLowerObjbound / bestbound update :3551), and the
+                # penaltybound test picks the next knob (:3554-3570)
+                usable = active & kconv & ~feasorig
                 bound_only = np.where(
                     usable, np.maximum(bound_only, np.asarray(outk.dobj)),
                     bound_only,
                 )
                 have_bound = have_bound | usable
-                failed = status == int(SolverResultStatus.FAILED)
-                if not failed.any():
-                    break
-                # early termination: two consecutive rounds with no newly
-                # decided instance and no new bound — raising Gamma further
-                # will not help (each rung costs a full device dispatch)
-                progress = bool(feasorig.any() or usable.any())
-                stagnant = 0 if progress else stagnant + 1
-                if stagnant >= 2:
-                    break
-                gamma *= growth
+                xlb_r = np.asarray(outk.xlb)[:, m]
+                penaltybound = xlb_r < ipms.penaltyboundtol * gamma
+                gamma[usable & penaltybound] *= pfact
+                gtol[usable & ~penaltybound] *= gfact
+                failed = np.isin(status, _UNSOLVED_CODES)
 
             salvage = failed & have_bound
             if salvage.any():
                 status[salvage] = int(SolverResultStatus.BOUND_ONLY)
                 objval[salvage] = bound_only[salvage]
-                failed = status == int(SolverResultStatus.FAILED)
+                failed = np.isin(status, _UNSOLVED_CODES)
 
-        if failed.any():
+        if failed.any() and not out_of_time():
             # rung 4: box rescue / unboundedness detection
             lbb = lbx.copy()
             ubb = ubx.copy()
@@ -489,7 +529,14 @@ class SDPInterface:
             xlb[recovered] = np.asarray(outb.xlb)[recovered, :m]
             xub[recovered] = np.asarray(outb.xub)[recovered, :m]
 
-        nunsolved = int((status == int(SolverResultStatus.FAILED)).sum())
+        if out_of_time():
+            # ladder was cut short by the per-solve budget: undecided
+            # instances report TIMELIMIT, not numerical failure
+            timed_out = np.isin(status, (int(SolverResultStatus.FAILED),
+                                         int(SolverResultStatus.ITERLIMIT)))
+            status[timed_out] = int(SolverResultStatus.TIMELIMIT)
+
+        nunsolved = int(np.isin(status, _UNSOLVED_CODES).sum())
         self.stat_npenalty += npenalty
         self.stat_nunsolved += nunsolved
 

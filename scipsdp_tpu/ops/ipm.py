@@ -326,6 +326,9 @@ def ipm_solve(
     cutvalid: jnp.ndarray = None,  # (B, q) bool
     warm_y: jnp.ndarray = None,   # (B, mp) parent dual solution (warmstart)
     warm_mask: jnp.ndarray = None,  # (B,) bool: rows with valid warm_y
+    gaptol_vec: jnp.ndarray = None,  # (B,) per-instance gap tolerance (the
+    #                                  penalty ladder shrinks it toward
+    #                                  min_gaptol, sdpi.c:3497-3599)
     *,
     settings: IPMSettings,
 ) -> SolveOutput:
@@ -337,7 +340,8 @@ def ipm_solve(
     B, mp = b.shape
     NB = data.nbuckets
     feastol = settings.feastol
-    gaptol = settings.gaptol
+    gaptol = (settings.gaptol if gaptol_vec is None
+              else gaptol_vec.astype(dtype))
 
     def bmap(fn):
         """Apply fn(bucket_index) for every bucket, returning a tuple."""
@@ -787,6 +791,11 @@ def ipm_solve(
                      jnp.sum(b * pre.fixval, axis=1), dobj)
 
     status = jnp.full((B,), int(SolverResultStatus.FAILED), jnp.int32)
+    # iteration-limit: ran out of iterations while still making progress
+    # (stall-detected instances keep FAILED; SCIPsdpiIsIterlimExc analog)
+    status = jnp.where((~st.done) & (~st.failed)
+                       & (st.it >= settings.max_iters),
+                       int(SolverResultStatus.ITERLIMIT), status)
     status = jnp.where(converged, int(SolverResultStatus.OPTIMAL), status)
     status = jnp.where(
         pre.allfixed & ~pre.conflict,

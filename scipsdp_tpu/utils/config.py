@@ -36,7 +36,12 @@ class IPMSettings:
     maxpenaltyparam: float = 1e10  # maximal Gamma
     npenaltyincr: int = 8          # number of Gamma increases
     peninfeasadjust: float = 1.1   # infeasibility margin (relax_sdp.c:96)
-    min_gaptol: float = 1e-10      # MIN_GAPTOL when shrinking for penalty
+    min_gaptol: float = 1e-10      # MIN_GAPTOL floor when the ladder
+                                   # tightens gaptol (sdpi.c:56,3507)
+    penaltyboundtol: float = 1e-3  # Tr(X) ~ Gamma relative tolerance that
+                                   # decides "raise Gamma" vs "tighten
+                                   # gaptol" (PENALTYBOUNDTOL,
+                                   # sdpisolver_dsdp.c:61)
     # numerics
     dtype: str = "float64"         # "float64" | "float32"
     mixed_precision: str = "off"   # "on" | "off": try a fast f32 solve
@@ -47,7 +52,8 @@ class IPMSettings:
                                    # pays off with loosened tolerances —
                                    # off by default
     tau: float = 0.95              # fraction-to-boundary step factor
-    tau_final: float = 0.98        # step factor once mu is small
+    #   (an adaptive tau->0.98 tail rule was measured NET NEGATIVE:
+    #   example_small 30->63 iterations with extra ladder rungs)
     sigma_min: float = 1e-8        # minimum centering parameter
     chol_reg: float = 1e-12        # Schur diagonal regularization (relative)
     init_point_scale: float = 1.0  # lambda*-style initial point scaling

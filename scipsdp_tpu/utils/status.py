@@ -31,6 +31,12 @@ class SolverResultStatus(enum.IntEnum):
     PRESOLVED_INFEASIBLE = 6   # bound conflict / fixed point infeasible
     PRESOLVED_OPTIMAL = 7      # all variables fixed & feasible
 
+    # per-solve limit statuses (SCIPsdpiIsIterlimExc / IsTimelimExc,
+    # reference src/sdpi/sdpi.c:3653-4110): not usable, but the recovery
+    # ladder and the statistics distinguish them from numerical failure
+    ITERLIMIT = 8              # IPM hit max_iters without converging
+    TIMELIMIT = 9              # per-solve wall-clock budget exhausted
+
 
 class SolveStatus(enum.IntEnum):
     """Overall MISDP solve status (analog of SCIP's SCIP_STATUS)."""
@@ -54,3 +60,23 @@ def is_acceptable(status: int) -> bool:
         SolverResultStatus.PRESOLVED_INFEASIBLE,
         SolverResultStatus.PRESOLVED_OPTIMAL,
     )
+
+
+def is_unsolved(status: int) -> bool:
+    """No usable bound came out of the solve (ladder keeps escalating)."""
+    return status in (
+        SolverResultStatus.FAILED,
+        SolverResultStatus.ITERLIMIT,
+        SolverResultStatus.TIMELIMIT,
+        SolverResultStatus.UNSOLVED,
+    )
+
+
+def is_iterlim_exc(status: int) -> bool:
+    """Analog of SCIPsdpiIsIterlimExc."""
+    return status == SolverResultStatus.ITERLIMIT
+
+
+def is_timelim_exc(status: int) -> bool:
+    """Analog of SCIPsdpiIsTimelimExc."""
+    return status == SolverResultStatus.TIMELIMIT

@@ -27,4 +27,8 @@ def test_lp_mode_parity(name, expect):
     else:
         assert res.status == SolveStatus.OPTIMAL
         assert abs(res.objval - expect) <= 1e-4 * max(1.0, abs(expect))
-    assert res.stats.ncuts > 0 or expect == "infeasible" or True
+    if expect != "infeasible":
+        # LP mode must actually have separated eigenvector cuts (the SDP
+        # blocks are only enforced through them); the infeasible case may
+        # be decided by bound propagation before any separation round
+        assert res.stats.ncuts > 0

@@ -86,10 +86,10 @@ class BBResult:
 
 class _Node:
     __slots__ = ("lb", "ub", "bound", "depth", "cuts", "requeues", "ysol",
-                 "xsol")
+                 "xsol", "wsrows")
 
     def __init__(self, lb, ub, bound, depth, cuts=(), requeues=0, ysol=None,
-                 xsol=None):
+                 xsol=None, wsrows=-1):
         self.lb = lb
         self.ub = ub
         self.bound = bound
@@ -98,8 +98,12 @@ class _Node:
         self.requeues = requeues  # LP-mode re-separation attempts
         self.ysol = ysol          # parent relaxation solution (warmstart;
         #                           cons_savesdpsol.c role)
-        self.xsol = xsol          # parent primal matrices (warmstart
-        #                           project=4 rounding problem)
+        self.xsol = xsol          # parent primal matrices in bucket layout
+        #                           (fillStartX + project=4 rounding)
+        self.wsrows = wsrows      # cut-row count when ysol was saved:
+        #                           warmstart info is invalidated when the
+        #                           row structure changed
+        #                           (cons_savesdpsol.c:57 nlpcons)
 
 
 def _apply_indicator_propagation(prob: MISDP, lb: np.ndarray, ub: np.ndarray):
@@ -371,10 +375,23 @@ class _Solver:
         return [np.asarray(res.X[t][i, s])
                 for (t, s) in self.iface.data.block_of]
 
+    def node_X_buckets(self, res, i: int) -> List[np.ndarray]:
+        """Batch row i's primal matrices in bucket layout (the form the
+        IPM's fillStartX warmstart consumes)."""
+        return [np.asarray(res.X[t][i]) for t in range(len(res.X))]
+
+    @staticmethod
+    def buckets_to_blocks(data, xsol) -> List[np.ndarray]:
+        """Bucket-layout node X -> per-original-block matrices."""
+        return [np.asarray(xsol[t][s]) for (t, s) in data.block_of]
+
+    last_q = 0   # cut-row count of the most recent relaxation solve
+
     def solve_relaxations(self, batch: List[_Node], B: int,
                           lb: np.ndarray, ub: np.ndarray):
         t_solve = time.time()
         cuts = self._assemble_cuts(batch, B)
+        self.last_q = 0 if cuts is None else cuts[0].shape[1]
         # in SDP mode the rounding heuristics ride the solve dispatch
         # (relaxation data == full data); LP mode checks on host below
         seed = (None if self.lp_mode
@@ -382,14 +399,25 @@ class _Solver:
         warm = None
         bb = self.settings.bb
         if bb.warmstart:
+            qnow = 0 if cuts is None else cuts[0].shape[1]
             wy = np.zeros((lb.shape[0], self.m))
             wmask = np.zeros(lb.shape[0], dtype=bool)
+            wX = None
+            if bb.warmstartprimal:
+                wX = [np.zeros((lb.shape[0],)
+                               + np.asarray(self.iface.data.C[t]).shape)
+                      for t in range(self.iface.data.nbuckets)]
             for i, node in enumerate(batch):
-                if node.ysol is not None:
+                # invalidate when the relaxation's row structure changed
+                # since the parent solve (cons_savesdpsol.c:57)
+                if node.ysol is not None and node.wsrows == qnow:
                     wy[i] = node.ysol
                     wmask[i] = True
+                    if wX is not None and node.xsol is not None:
+                        for t in range(len(wX)):
+                            wX[t][i] = node.xsol[t]
             if wmask.any():
-                warm = (wy, wmask)
+                warm = (wy, wmask, wX)
         res = self.iface.solve_batch(lb, ub, cuts=cuts, rounding_seed=seed,
                                      warm=warm)
         self.stats.relax_solves += 1
@@ -528,6 +556,15 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 incumbent_y = y_in.copy()
                 stats.heur_found += 1
 
+    # root analytic centers for warmstartiptype = 2 (prop_companalcent.c
+    # one-shot trigger of SCIPrelaxSdpComputeAnalyticCenters)
+    if bb.warmstart and bb.warmstartiptype == 2 and not sol.lp_mode:
+        from scipsdp_tpu.core.probing import analytic_center
+        ac_y, ac_ok, ac_X = analytic_center(
+            sol.iface, root_lb[None, :], root_ub[None, :], with_X=True)
+        if bool(np.asarray(ac_ok)[0]):
+            sol.iface.set_interior_point(ac_y[0], ac_X)
+
     # optional root OBBT (prop_sdpobbt.c)
     if bb.obbt_at_root and not sol.lp_mode:
         from scipsdp_tpu.core.probing import obbt_root
@@ -538,12 +575,56 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 bb.batch_size, feastol)
             stats.redcost_tightenings += nt
 
+    # device-resident B&B fast path (core/turbo.py): when the problem fits
+    # turbo's feature set, the whole tree loop runs on device in K-round
+    # jitted chunks; the host loop below remains the general/fallback engine
+    from scipsdp_tpu.core import turbo as _turbo
+    if (_turbo.eligible(prob, sol.dense, settings, sol.lp_mode)
+            and not settings.use_mesh and checkpoint is None and not resume):
+        tres = _turbo.solve_turbo(
+            sol.dense, prob, dataclasses.replace(settings, bb=bb),
+            root_lb, root_ub, incumbent_val, incumbent_y,
+            data=sol.iface.data,
+            rounds_per_dispatch=bb.turbo_rounds)
+        if tres is not None:
+            stats.nodes += tres.nodes
+            stats.relax_solves += tres.rounds
+            stats.ipm_iterations += tres.iters
+            stats.solver_calls += tres.nsolves
+            stats.heur_found += tres.nheur
+            stats.nunsolved += tres.nunsolved
+            stats.wall_time = time.time() - t0
+            stats.solve_time = stats.wall_time
+            inc_y = tres.inc_y
+            if tres.hit_node_limit or tres.hit_time_limit:
+                status = (SolveStatus.NODE_LIMIT if tres.hit_node_limit
+                          else SolveStatus.TIME_LIMIT)
+                gap = (abs(tres.inc_val - tres.dual_bound)
+                       / max(1e-9, abs(tres.inc_val))
+                       if inc_y is not None else np.inf)
+                return BBResult(
+                    status,
+                    (prob.external_objval(tres.inc_val)
+                     if inc_y is not None else None),
+                    to_user_space(inc_y),
+                    prob.external_objval(tres.dual_bound), gap, stats)
+            if inc_y is None:
+                return BBResult(SolveStatus.INFEASIBLE, None, None,
+                                prob.external_objval(np.inf), 0.0, stats)
+            return BBResult(
+                SolveStatus.OPTIMAL,
+                prob.external_objval(tres.inc_val),
+                to_user_space(inc_y),
+                prob.external_objval(tres.inc_val), 0.0, stats)
+        # turbo bailed (overflow / hard instances): fall through to the
+        # host loop, which implements the full recovery ladder
+
     from scipsdp_tpu.native.frontier import FrontierStore
 
     def _push_node(node: _Node, prio: float) -> None:
         frontier.push(node.lb, node.ub, prio, node.depth,
                       side=(node.bound, node.cuts, node.requeues,
-                            node.ysol, node.xsol))
+                            node.ysol, node.xsol, node.wsrows))
 
     # native slab-allocated node pool (SCIP-core tree-management role;
     # scipsdp_tpu/native/frontier.cpp), Python-heap fallback
@@ -583,11 +664,12 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         while len(frontier) and len(batch) < cap:
             for (nlb, nub, _prio, ndepth, side) in frontier.pop_upto(
                     cap - len(batch)):
-                nbound, ncuts, nreq, nysol, nxsol = side
+                nbound, ncuts, nreq, nysol, nxsol = side[:5]
+                nws = side[5] if len(side) > 5 else -1
                 if nbound >= incumbent_val - prune_slack:
                     continue   # late bound pruning
                 batch.append(_Node(nlb, nub, nbound, ndepth, ncuts, nreq,
-                                   nysol, nxsol))
+                                   nysol, nxsol, nws))
         if not batch:
             break
 
@@ -602,8 +684,9 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                     kept.append(node)
                     continue
                 action, wy = rounding_problem(
-                    sol.prob, sol.dense, settings, node.xsol, node.ysol,
-                    node.lb, node.ub,
+                    sol.prob, sol.dense, settings,
+                    sol.buckets_to_blocks(sol.iface.data, node.xsol),
+                    node.ysol, node.lb, node.ub,
                     cutoff=(incumbent_val if np.isfinite(incumbent_val)
                             else INF),
                     feastol=feastol)
@@ -1025,14 +1108,16 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 if np.all(clb <= cub + feastol):
                     prio = (bound if bb.node_selection != "dfs"
                             else -float(node.depth + 1))
+                    want_x = (bb.warmstartprimal
+                              or bb.warmstartproject == 4)
                     _push_node(
                         _Node(clb, cub, bound, node.depth + 1, ccuts,
                               ysol=(y.copy() if y is not None
                                     and bb.warmstart else None),
-                              xsol=(sol.node_X(res, i)
-                                    if bb.warmstart
-                                    and bb.warmstartproject == 4
-                                    and y is not None else None)),
+                              xsol=(sol.node_X_buckets(res, i)
+                                    if bb.warmstart and want_x
+                                    and y is not None else None),
+                              wsrows=sol.last_q),
                         prio)
 
         if (checkpoint is not None

@@ -448,11 +448,19 @@ def rounding_problem(prob, dense, settings, parent_X, parent_y,
     return "ok", res2.y[0][:m]
 
 
-def analytic_center(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray):
+def analytic_center(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray,
+                    with_X: bool = False):
     """Central point of the relaxation's feasible set from a zero-objective
     solve (the IPM converges to the analytic center of the optimal face,
-    which for b = 0 is the whole feasible set)."""
+    which for b = 0 is the whole feasible set).
+
+    With ``with_X`` also returns the primal center matrices in bucket
+    layout (the pair SCIPrelaxSdpComputeAnalyticCenters stores for
+    warmstartiptype=2, relax_sdp.c:5589)."""
     B = lb.shape[0]
     res = iface.solve_batch(lb, ub, obj=np.zeros((B, iface.m)))
     ok = np.isin(res.status, (int(SolverResultStatus.OPTIMAL),))
+    if with_X:
+        Xc = [np.asarray(res.X[t][0]) for t in range(len(res.X))]
+        return res.y, ok, Xc
     return res.y, ok

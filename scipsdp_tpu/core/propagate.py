@@ -40,6 +40,17 @@ def tighten_bounds(prob: MISDP, lb: np.ndarray, ub: np.ndarray,
     reference adds as propagation-only linear constraints."""
     lb = lb.copy()
     ub = ub.copy()
+    # integer-bound rounding FIRST: upstream tighteners (one-var SDP
+    # bounds, upper-bound propagation) may have derived fractional bounds
+    # on integer variables; these must be ceiled/floored even when the
+    # row loop below exits early (no LP rows)
+    ints = prob.integral
+    lb[ints] = np.where(lb[ints] > -INF / 2, np.ceil(lb[ints] - 1e-6),
+                        lb[ints])
+    ub[ints] = np.where(ub[ints] < INF / 2, np.floor(ub[ints] + 1e-6),
+                        ub[ints])
+    if np.any(lb > ub + 1e-6):
+        return lb, ub, True
     D = prob.lp.dense(prob.nvars)       # (p, m)
     lhs = prob.lp.lhs
     rhs = prob.lp.rhs

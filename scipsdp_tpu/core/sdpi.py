@@ -99,14 +99,8 @@ class SDPInterface:
 
     def __init__(self, dense: DenseSDPData, settings: Optional[Settings] = None,
                  indicator_pairs=None, mesh=None):
-        self.settings = settings or Settings()
-        if self.settings.ipm.step_rule == "auto":
-            # backend-dependent default (see IPMSettings.step_rule)
-            backend = jax.default_backend()
-            rule = "eigh" if backend == "cpu" else "power"
-            self.settings = dataclasses.replace(
-                self.settings,
-                ipm=dataclasses.replace(self.settings.ipm, step_rule=rule))
+        from scipsdp_tpu.utils.config import resolve_backend_autos
+        self.settings = resolve_backend_autos(settings or Settings())
         self.mesh = mesh
         self.dense = dense
         self.data: IPMData = build_ipm_data(dense)
@@ -176,8 +170,20 @@ class SDPInterface:
         ubm[~active, :] = 0.0
         return lbm, ubm
 
+    def set_interior_point(self, y_ip: np.ndarray,
+                           X_ip) -> None:
+        """Install root analytic centers for warmstartiptype=2 convex
+        combinations (SCIPrelaxSdpComputeAnalyticCenters role); ``X_ip``
+        is a per-bucket tuple of (K_t, n, n) primal center matrices."""
+        self._ip_point = (
+            self._put(np.concatenate([np.asarray(y_ip), [0.0]])),
+            tuple(jnp.asarray(x) for x in X_ip),
+        )
+
+    _ip_point = None
+
     def _run(self, b, lb, ub, cuts=None, warm_y=None, warm_mask=None,
-             f32=False, gaptol=None):
+             f32=False, gaptol=None, warm_X=None):
         """One batched solve through the SINGLE fused executable.
 
         Every recovery-ladder rung reuses the fused solve+rounding graph
@@ -198,16 +204,16 @@ class SDPInterface:
         out, _, _, _ = self._fused(dat, self._put(b), self._put(lb),
                                    self._put(ub), key, *cargs,
                                    self._put(warm_y), warm_mask,
-                                   self._put(np.asarray(gaptol)))
+                                   self._put(np.asarray(gaptol)),
+                                   warm_X, self._ip_point)
         return out
 
     def _fused_impl(self, data, b, lb, ub, key, Gcut=None, hcut=None,
                     cvalid=None, warm_y=None, warm_mask=None,
-                    gaptol_vec=None):
+                    gaptol_vec=None, warm_X=None, ip_point=None):
         """ipm_solve + fracround/randround candidates + feasibility check,
         all in one jitted graph (one device dispatch)."""
         import jax.numpy as jnp
-        from scipsdp_tpu.ops.eigen import min_eigenvalue
 
         import dataclasses as _dc
 
@@ -215,7 +221,8 @@ class SDPInterface:
         if data.A[0].dtype == jnp.float32:
             s = _dc.replace(s, dtype="float32", chol_reg=1e-9)
         out = ipm_solve(data, b, lb, ub, Gcut, hcut, cvalid,
-                        warm_y, warm_mask, gaptol_vec, settings=s)
+                        warm_y, warm_mask, gaptol_vec, warm_X, ip_point,
+                        settings=s)
         m = self.m
         B = b.shape[0]
         y = out.y[:, :m]
@@ -228,24 +235,31 @@ class SDPInterface:
                 on = yc[:, bi] >= 0.5
                 yc = yc.at[:, si].set(jnp.where(on, 0.0, yc[:, si]))
             yx = jnp.concatenate([yc, jnp.zeros((B, 1), yc.dtype)], axis=1)
-            viol = jnp.zeros((B,), yc.dtype)
+            # feasibility: Z(y) + feastol*I PSD via a Cholesky probe — the
+            # same accept/reject decision as the lambda_min >= -feastol
+            # check (cons_sdp.c:672) without an eigendecomposition (f64
+            # eigh is the most expensive kernel on TPU)
+            ok = jnp.ones((B,), bool)
             for t in range(data.nbuckets):
                 Z = jnp.einsum("kjab,xj->xkab", data.A[t], yx) \
                     - data.C[t][None]
-                lam = min_eigenvalue(
-                    Z, jnp.broadcast_to(data.dimmask[t][None],
-                                        Z.shape[:-1]))
-                viol = jnp.maximum(
-                    viol, jnp.max(jnp.maximum(-lam, 0.0), axis=1))
+                dm = data.dimmask[t]
+                outer = dm[:, :, None] & dm[:, None, :]
+                eye = jnp.eye(Z.shape[-1], dtype=Z.dtype)
+                Zs = jnp.where(outer[None], Z + feastol * eye, eye)
+                L = jnp.linalg.cholesky(Zs)
+                ok = ok & ~jnp.any(jnp.isnan(L), axis=(1, 2, 3))
             Gy = jnp.einsum("pm,xm->xp", data.G, yx)
-            viol = jnp.maximum(
-                viol, jnp.max(jnp.maximum(data.h[None] - Gy, 0.0), axis=1))
+            ok = ok & jnp.all(Gy >= data.h[None] - feastol, axis=1)
             if Gcut is not None:
                 Gcy = jnp.einsum("xqm,xm->xq", Gcut[:, :, :m], yc)
-                viol = jnp.maximum(viol, jnp.max(jnp.where(
-                    cvalid, jnp.maximum(hcut - Gcy, 0.0), 0.0), axis=1))
-            return yc, viol <= feastol, jnp.sum(yc * data.b_base[None, :m],
-                                                axis=1)
+                ok = ok & jnp.all(jnp.where(cvalid, Gcy >= hcut - feastol,
+                                            True), axis=1)
+            # clipping against fractional bounds may destroy integrality
+            frac_c = jnp.where(integral[None, :],
+                               jnp.abs(yc - jnp.round(yc)), 0.0)
+            ok = ok & (jnp.max(frac_c, axis=1) <= feastol)
+            return yc, ok, jnp.sum(yc * data.b_base[None, :m], axis=1)
 
         y0 = jnp.where(integral[None, :], jnp.round(y), y)
         frac = y - jnp.floor(y)
@@ -343,10 +357,12 @@ class SDPInterface:
         lbx = self._extend(lb, 0.0)
         ubx = self._extend(ub, 0.0)
         round_y = round_feas = round_val = None
-        wy = wm = None
+        wy = wm = wX = None
         if warm is not None:
             wy = self._put(self._extend(np.asarray(warm[0]), 0.0))
             wm = self._put(np.asarray(warm[1], dtype=bool))
+            if len(warm) > 2 and warm[2] is not None:
+                wX = tuple(jnp.asarray(x) for x in warm[2])
         if rounding_seed is not None:
             self.stat_nsolves += 1
             key = jax.random.PRNGKey(rounding_seed)
@@ -357,12 +373,13 @@ class SDPInterface:
             out, ry, rf, rv = self._fused(
                 dat, self._put(bmat), self._put(lbx),
                 self._put(ubx), key, *cargs, wy, wm,
-                self._put(np.full(B, ipms.gaptol)))
+                self._put(np.full(B, ipms.gaptol)), wX, self._ip_point)
             round_y = np.asarray(ry)
             round_feas = np.asarray(rf)
             round_val = np.asarray(rv)
         else:
-            out = self._run(bmat, lbx, ubx, cuts, wy, wm, f32=self._mp)
+            out = self._run(bmat, lbx, ubx, cuts, wy, wm, f32=self._mp,
+                            warm_X=wX)
         self.stat_iterations += int(out.iters)
 
         # f32 tier escalation: instances the fast tier failed are re-solved

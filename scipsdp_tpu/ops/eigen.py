@@ -88,6 +88,55 @@ def max_step_psd_power(L: jnp.ndarray, dM: jnp.ndarray,
     return jnp.where(safe, jnp.inf, 1.0 / jnp.where(safe, 1.0, lam))
 
 
+def ymat(Linv: jnp.ndarray, dM: jnp.ndarray) -> jnp.ndarray:
+    """Congruence transform Y = Linv dM Linv^T used by the PSD max-step
+    rules:  M + a dM >= 0  <=>  I + a Y >= 0  when M = L L^T.
+
+    Matmul-only (the caller supplies the explicit triangular inverse):
+    on TPU each blocked triangular-solve kernel costs far more than its
+    FLOPs at IPM block sizes, so the solver computes Linv once per
+    iteration and turns every step-rule solve into two batched matmuls.
+    """
+    T = jnp.einsum("...ab,...bc->...ac", Linv, dM)
+    return sym(jnp.einsum("...ac,...dc->...ad", T, Linv))
+
+
+def max_step_from_ymat(Y: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
+    """Largest alpha with  I + alpha*Y >= 0  via shifted power iteration
+    (the solve-free core of :func:`max_step_psd_power`)."""
+    S = -Y
+    n = S.shape[-1]
+    c = jnp.max(jnp.sum(jnp.abs(S), axis=-1), axis=-1)
+    Sc = S + c[..., None, None] * jnp.eye(n, dtype=S.dtype)
+    v = jnp.ones(S.shape[:-1], S.dtype)[..., None] / jnp.sqrt(
+        jnp.asarray(n, S.dtype))
+
+    def body(_, v):
+        w = Sc @ v
+        return w / jnp.maximum(
+            jnp.linalg.norm(w, axis=(-2, -1), keepdims=True),
+            jnp.asarray(1e-30, S.dtype))
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    lam = jnp.sum(v * (Sc @ v), axis=(-2, -1)) - c
+    safe = lam <= 1e-12
+    return jnp.where(safe, jnp.inf, 1.0 / jnp.where(safe, 1.0, lam))
+
+
+def max_step_eigh_from_ymat(Y: jnp.ndarray) -> jnp.ndarray:
+    """Exact variant of :func:`max_step_from_ymat` (full eigendecomposition;
+    the CPU default where eigh is native LAPACK)."""
+    lam_min = jnp.linalg.eigvalsh(Y)[..., 0]
+    safe = lam_min >= -1e-14
+    return jnp.where(safe, jnp.inf, -1.0 / jnp.where(safe, -1.0, lam_min))
+
+
+def gersh_step_from_ymat(Y: jnp.ndarray) -> jnp.ndarray:
+    """Conservative Gershgorin bound variant (eigh- and iteration-free)."""
+    lam_bound = jnp.max(jnp.sum(jnp.abs(Y), axis=-1), axis=-1)
+    return 1.0 / jnp.maximum(lam_bound, jnp.asarray(1e-30, Y.dtype))
+
+
 def max_step_pos(v: jnp.ndarray, dv: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Largest alpha with  v + alpha*dv >= 0  elementwise over masked entries.
 

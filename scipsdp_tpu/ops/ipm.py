@@ -55,13 +55,13 @@ import numpy as np
 
 from scipsdp_tpu.models.problem import DenseSDPData
 from scipsdp_tpu.ops.eigen import (
-    chol_solve,
+    gersh_step_from_ymat,
+    max_step_eigh_from_ymat,
+    max_step_from_ymat,
     max_step_pos,
-    max_step_psd,
-    max_step_psd_power,
     min_eigenvalue,
-    spd_inverse,
     sym,
+    ymat,
 )
 from scipsdp_tpu.utils.config import IPMSettings
 from scipsdp_tpu.utils.status import SolverResultStatus
@@ -329,6 +329,16 @@ def ipm_solve(
     gaptol_vec: jnp.ndarray = None,  # (B,) per-instance gap tolerance (the
     #                                  penalty ladder shrinks it toward
     #                                  min_gaptol, sdpi.c:3497-3599)
+    warm_X: Tuple[jnp.ndarray, ...] = None,  # per-bucket (B, K_t, n, n)
+    #                                  parent primal matrices (fillStartX,
+    #                                  relax_sdp.c:2959-3049)
+    ip_point: Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]] = None,
+    #                                  (y_ip (mp,), X_ip per-bucket
+    #                                  (K_t, n, n)) root analytic centers:
+    #                                  warmstartiptype=2 convex-combines
+    #                                  the projected parent point with them
+    #                                  instead of the scaled identity
+    #                                  (relax_sdp.c:2820-2945,5589)
     *,
     settings: IPMSettings,
 ) -> SolveOutput:
@@ -426,25 +436,57 @@ def ipm_solve(
     S0 = X0
     if warm_y is not None:
         # dual slack matrix from the projected parent point, floored on
-        # the PSD cone and convex-combined with the scaled identity
-        # (fillStartZ, relax_sdp.c:2649-2954; iptype=1 scaled identity,
-        # factor = warmstartipfactor)
+        # the PSD cone and convex-combined with an interior target
+        # (fillStartZ, relax_sdp.c:2649-2954): iptype=1 scaled identity,
+        # iptype=2 the root analytic center (``ip_point``), factor =
+        # warmstartipfactor
         f = settings.warmstartipfactor
         wmk = (warm_mask if warm_mask is not None
                else jnp.ones((B,), bool))[:, None, None, None]
 
-        def warm_S(t):
+        def psd_floor(t, Mt, floor_rel):
+            """Project onto the PSD cone with a relative eigenvalue floor
+            (the WARMSTART_MINVAL role, relax_sdp.c:107-112)."""
             lamW, VW = jnp.linalg.eigh(
-                jnp.where(pad_outer[t], Z0[t], eyen[t][None, None] * xi))
-            lfloor = 1e-3 * jnp.maximum(
+                jnp.where(pad_outer[t], Mt, eyen[t][None, None] * xi))
+            lfloor = floor_rel * jnp.maximum(
                 1.0, jnp.max(jnp.abs(lamW), axis=-1, keepdims=True))
             lamWp = jnp.maximum(lamW, lfloor)
-            Zproj = jnp.einsum("xkae,xke,xkbe->xkab", VW, lamWp, VW)
-            S0w = (1.0 - f) * jnp.where(pad_outer[t], Zproj,
-                                        eyen[t][None, None] * xi) + f * X0[t]
+            proj = jnp.einsum("xkae,xke,xkbe->xkab", VW, lamWp, VW)
+            return jnp.where(pad_outer[t], proj, eyen[t][None, None] * xi)
+
+        if ip_point is not None:
+            # analytic-center targets: S_ip = Z(y_ip), X_ip as provided,
+            # both floored into the interior
+            y_ip, X_ip = ip_point
+            Zip = bmap(lambda t: jnp.einsum(
+                "kjab,j->kab", data.A[t], y_ip.astype(dtype))
+                - data.C[t])
+            S_tgt = bmap(lambda t: psd_floor(
+                t, jnp.broadcast_to(Zip[t][None], Z0[t].shape), 1e-2))
+            X_tgt = bmap(lambda t: psd_floor(
+                t, jnp.broadcast_to(X_ip[t][None].astype(dtype),
+                                    X0[t].shape), 1e-2))
+        else:
+            S_tgt = X0     # scaled identity
+            X_tgt = X0
+
+        def warm_S(t):
+            Zproj = psd_floor(t, Z0[t], 1e-3)
+            S0w = (1.0 - f) * Zproj + f * S_tgt[t]
             return sym(jnp.where(wmk, S0w, S0[t]))
 
         S0 = bmap(warm_S)
+
+        if warm_X is not None:
+            # fillStartX (relax_sdp.c:2959-3049): same treatment for the
+            # stored parent primal
+            def warm_Xf(t):
+                Xproj = psd_floor(t, sym(warm_X[t].astype(dtype)), 1e-3)
+                X0w = (1.0 - f) * Xproj + f * X_tgt[t]
+                return sym(jnp.where(wmk, X0w, X0[t]))
+
+            X0 = bmap(warm_Xf)
     sl0 = jnp.where(pre.rowmask,
                     jnp.maximum(jnp.einsum("xpm,xm->xp", Gall, y0) - hall,
                                 scale[:, None]),
@@ -469,7 +511,42 @@ def ipm_solve(
                                   jnp.max(jnp.abs(data.h)))
     free_outer = (~pre.fix)[:, :, None] & (~pre.fix)[:, None, :]
 
-    def residuals(st: IPMState):
+    # mixed-precision direction phase (IPMSettings.phase32): while every
+    # active instance's relative gap is above phase32_switch, all O(n^3)
+    # direction kernels run in f32 against the exact f64 residuals
+    # (inexact Newton); the endgame runs full f64.  The f32 shadow of the
+    # static data is cast once, outside the loop.
+    use_phase32 = settings.phase32 == "on" and dtype == jnp.float64
+    if use_phase32:
+        A32 = bmap(lambda t: data.A[t].astype(jnp.float32))
+        G32 = Gall.astype(jnp.float32)
+
+    class EvalOut(NamedTuple):
+        Rp: Tuple[jnp.ndarray, ...]   # dual-infeasibility residual Z(y)-S
+        rpl: jnp.ndarray
+        rplb: jnp.ndarray
+        rpub: jnp.ndarray
+        rd: jnp.ndarray               # stationarity residual
+        gap: jnp.ndarray
+        relgap: jnp.ndarray
+        pinf: jnp.ndarray
+        dinf: jnp.ndarray
+        conv: jnp.ndarray
+
+    def comp_gap(st: IPMState):
+        gsdp = bsum(bmap(lambda t: jnp.sum(
+            jnp.where(pad_outer[t], st.X[t] * st.S[t], 0.0), axis=(1, 2, 3))))
+        return (
+            gsdp
+            + jnp.sum(jnp.where(pre.rowmask, st.xl * st.sl, 0.0), axis=1)
+            + jnp.sum(jnp.where(pre.lbmask, st.xlb * st.slb, 0.0), axis=1)
+            + jnp.sum(jnp.where(pre.ubmask, st.xub * st.sub, 0.0), axis=1)
+        )
+
+    def evaluate(st: IPMState) -> EvalOut:
+        """Residuals + duality gap + per-instance convergence (always f64;
+        computed ONCE per iteration on the new state and carried, so the
+        next iteration's direction solve reuses it)."""
         yh = jnp.where(pre.fix, pre.fixval, st.y)
         Z = blockmap_y(yh)
         Rp = bmap(lambda t: jnp.where(pad_outer[t], Z[t] - st.S[t], 0.0))
@@ -482,20 +559,6 @@ def ipm_solve(
         rd = (b - AstarX - jnp.einsum("xpm,xp->xm", Gall, st.xl)
               - st.xlb + st.xub)
         rd = jnp.where(pre.fix, 0.0, rd)
-        return yh, Rp, rpl, rplb, rpub, rd
-
-    def comp_gap(st: IPMState):
-        gsdp = bsum(bmap(lambda t: jnp.sum(
-            jnp.where(pad_outer[t], st.X[t] * st.S[t], 0.0), axis=(1, 2, 3))))
-        return (
-            gsdp
-            + jnp.sum(jnp.where(pre.rowmask, st.xl * st.sl, 0.0), axis=1)
-            + jnp.sum(jnp.where(pre.lbmask, st.xlb * st.slb, 0.0), axis=1)
-            + jnp.sum(jnp.where(pre.ubmask, st.xub * st.sub, 0.0), axis=1)
-        )
-
-    def converged_mask(st: IPMState):
-        yh, Rp, rpl, rplb, rpub, rd = residuals(st)
         gap = comp_gap(st)
         dobj = jnp.sum(b * yh, axis=1)
         # explicit primal (Lagrange-dual) objective of the reduced problem
@@ -504,8 +567,6 @@ def ipm_solve(
         CX = bsum(bmap(lambda t: jnp.sum(
             jnp.where(pad_outer[t], data.C[t][None] * st.X[t], 0.0),
             axis=(1, 2, 3))))
-        AstarX = bsum(bmap(lambda t: jnp.einsum("kjab,xkba->xj", data.A[t],
-                                                st.X[t])))
         GTxl = jnp.einsum("xpm,xp->xm", Gall, st.xl)
         hxl = jnp.sum(jnp.where(pre.rowmask, hall * st.xl, 0.0), axis=1)
         lxlb = jnp.sum(jnp.where(pre.lbmask, pre.lb * st.xlb, 0.0), axis=1)
@@ -536,184 +597,230 @@ def ipm_solve(
             (pinf <= feastol) & (dinf <= feastol)
             & (relgap <= gaptol) & (dualgap <= 10.0 * gaptol)
         )
-        return conv, gap, pinf, dinf
+        return EvalOut(Rp=Rp, rpl=rpl, rplb=rplb, rpub=rpub, rd=rd, gap=gap,
+                       relgap=relgap, pinf=pinf, dinf=dinf, conv=conv)
 
-    def cond(st: IPMState):
+    def cond(carry):
+        st, _ = carry
         return (st.it < settings.max_iters) & ~jnp.all(st.done)
 
-    def body(st: IPMState) -> IPMState:
-        yh, Rp, rpl, rplb, rpub, rd = residuals(st)
-        gap = comp_gap(st)
-        mu = gap / nu
+    def iter_products(st: IPMState, ev: EvalOut, dtp):
+        """One Mehrotra predictor-corrector direction + step-length pass
+        with every factorization/solve/matmul in dtype ``dtp``.
 
-        Lx = bmap(lambda t: jnp.linalg.cholesky(st.X[t]))
-        Ls = bmap(lambda t: jnp.linalg.cholesky(st.S[t]))
-        Sinv = bmap(lambda t: spd_inverse(st.S[t], Ls[t]))
+        Kernel-count discipline (v5e: each blocked Cholesky / triangular-
+        solve kernel costs far more than its FLOPs at IPM block sizes):
+        per bucket, ONE stacked Cholesky + ONE stacked triangular inverse
+        cover both X and S; the Schur factor is inverted explicitly so
+        both direction solves and all PSD max-step rules become batched
+        matmuls (ops/eigen.ymat)."""
+        f32 = dtp == jnp.float32
+        if f32:
+            # TPU matmuls on f32 inputs default to bfloat16 passes — far
+            # too coarse for Newton directions (measured: NaN by iteration
+            # ~7).  Force true-f32 accumulation; still ~10-20x cheaper than
+            # emulated f64.
+            with jax.default_matmul_precision("float32"):
+                return _iter_products_impl(st, ev, dtp)
+        return _iter_products_impl(st, ev, dtp)
+
+    def _iter_products_impl(st: IPMState, ev: EvalOut, dtp):
+        f32 = dtp == jnp.float32
+        Ad = A32 if f32 else data.A
+        Gd = G32 if f32 else Gall
+
+        def cast(a):
+            return a.astype(dtp)
+
+        X = bmap(lambda t: cast(st.X[t]))
+        S = bmap(lambda t: cast(st.S[t]))
+        xl, sl = cast(st.xl), cast(st.sl)
+        xlb, slb = cast(st.xlb), cast(st.slb)
+        xub, sub = cast(st.xub), cast(st.sub)
+        Rp = bmap(lambda t: cast(ev.Rp[t]))
+        rpl, rplb = cast(ev.rpl), cast(ev.rplb)
+        rpub, rd = cast(ev.rpub), cast(ev.rd)
+        mu = cast(ev.gap) / cast(nu)
+        eyed = bmap(lambda t: jnp.eye(data.A[t].shape[-1], dtype=dtp))
+        eye_act = bmap(lambda t: eyed[t][None, None]
+                       * pad_diag[t][..., None] * pad_diag[t][..., None, :])
+        eye_mp = jnp.eye(mp, dtype=dtp)
+
+        def chol_inv(t):
+            Kt = X[t].shape[1]
+            both = jnp.concatenate([X[t], S[t]], axis=1)   # (B, 2K, n, n)
+            L = jnp.linalg.cholesky(both)
+            eyeb = jnp.broadcast_to(eyed[t], L.shape)
+            Linv = jax.scipy.linalg.solve_triangular(L, eyeb, lower=True)
+            return (L[:, :Kt], L[:, Kt:], Linv[:, :Kt], Linv[:, Kt:])
+
+        LXS = bmap(chol_inv)
+        Lx = tuple(v[0] for v in LXS)
+        Ls = tuple(v[1] for v in LXS)
+        Lxinv = tuple(v[2] for v in LXS)
+        Lsinv = tuple(v[3] for v in LXS)
+        Sinv = bmap(lambda t: sym(jnp.einsum("xkba,xkbc->xkac",
+                                             Lsinv[t], Lsinv[t])))
 
         # Schur complement M_ij = sum_k tr(A_i X A_j S^{-1}) — the
         # reference hot loop (Schur assembly inside DSDP/SDPA per IPM
-        # iteration).  Factorized form: with X = Lx Lx^T and
-        # S^{-1} = Ls^{-T} Ls^{-1}, setting W_j = Lx^T A_j Ls^{-T} gives
-        # M = sum_{t,k} <W_i, W_j>_F; the LP/cut rows contribute
+        # iteration).  Factorized form: W_j = Lx^T A_j Ls^{-T} gives
+        # M = sum_{t,k} <W_i, W_j>_F; LP/cut rows contribute
         # G^T diag(xl/sl) G = Wg^T Wg — everything stacks into one feature
         # axis and the whole Schur complement is ONE MXU matmul.
         def wfeat(t):
-            P = jnp.einsum("xkba,kjbc->xkjac", Lx[t], data.A[t])  # Lx^T A_j
-            Lsb = jnp.broadcast_to(Ls[t][:, :, None], P.shape)
-            Wt = jax.scipy.linalg.solve_triangular(
-                Lsb, jnp.swapaxes(P, -1, -2), lower=True)         # Ls^{-1}P^T
-            return jnp.transpose(Wt, (0, 2, 1, 3, 4)).reshape(B, mp, -1)
+            P = jnp.einsum("xkba,kjbc->xkjac", Lx[t], Ad[t])   # Lx^T A_j
+            W = jnp.einsum("xkjab,xkcb->xkjac", P, Lsinv[t])   # .. Ls^{-T}
+            return jnp.transpose(W, (0, 2, 1, 3, 4)).reshape(B, mp, -1)
 
-        wl = jnp.where(pre.rowmask, st.xl / st.sl, 0.0)
-        Wg = jnp.sqrt(wl)[:, :, None] * Gall                 # (B, P, mp)
+        wl = jnp.where(pre.rowmask, xl / sl, 0.0)
+        Wg = jnp.sqrt(wl)[:, :, None] * Gd                 # (B, P, mp)
         Wall = jnp.concatenate(
             list(bmap(wfeat)) + [jnp.swapaxes(Wg, 1, 2)], axis=2)
         M = _schur_product(Wall, settings)
-        wlb = jnp.where(pre.lbmask, st.xlb / st.slb, 0.0)
-        wub = jnp.where(pre.ubmask, st.xub / st.sub, 0.0)
-        M = M + (wlb + wub)[:, :, None] * jnp.eye(mp, dtype=dtype)[None]
+        wlb = jnp.where(pre.lbmask, xlb / slb, 0.0)
+        wub = jnp.where(pre.ubmask, xub / sub, 0.0)
+        M = M + (wlb + wub)[:, :, None] * eye_mp[None]
         # fixed variables: identity row/col, dy = 0
         M = jnp.where(free_outer, M, 0.0)
-        M = M + (pre.fix.astype(dtype))[:, :, None] * jnp.eye(mp, dtype=dtype)[None]
-        reg = settings.chol_reg * (1.0 + jnp.max(jnp.abs(M), axis=(1, 2)))
-        M = M + reg[:, None, None] * jnp.eye(mp, dtype=dtype)[None]
+        M = M + (pre.fix.astype(dtp))[:, :, None] * eye_mp[None]
+        chol_reg = settings.chol_reg if not f32 else max(
+            settings.chol_reg, 1e-9)
+        reg = chol_reg * (1.0 + jnp.max(jnp.abs(M), axis=(1, 2)))
+        M = M + reg[:, None, None] * eye_mp[None]
         Lm = jnp.linalg.cholesky(M)
+        Lminv = jax.scipy.linalg.solve_triangular(
+            Lm, jnp.broadcast_to(eye_mp, Lm.shape), lower=True)
+        Minv = jnp.einsum("xba,xbc->xac", Lminv, Lminv)    # Lm^{-T} Lm^{-1}
 
         def direction(Rc, rcl, rclb, rcub):
             PsiSinv = bmap(lambda t: jnp.einsum(
                 "xkab,xkbc->xkac",
-                Rc[t] - jnp.einsum("xkab,xkbc->xkac", st.X[t], Rp[t]),
+                Rc[t] - jnp.einsum("xkab,xkbc->xkac", X[t], Rp[t]),
                 Sinv[t]))
             rhs = (
-                bsum(bmap(lambda t: jnp.einsum("kjab,xkba->xj", data.A[t],
+                bsum(bmap(lambda t: jnp.einsum("kjab,xkba->xj", Ad[t],
                                                PsiSinv[t])))
-                + jnp.einsum("xpm,xp->xm", Gall,
+                + jnp.einsum("xpm,xp->xm", Gd,
                              jnp.where(pre.rowmask,
-                                       (rcl - st.xl * rpl) / st.sl, 0.0))
-                + jnp.where(pre.lbmask, (rclb - st.xlb * rplb) / st.slb, 0.0)
-                - jnp.where(pre.ubmask, (rcub - st.xub * rpub) / st.sub, 0.0)
+                                       (rcl - xl * rpl) / sl, 0.0))
+                + jnp.where(pre.lbmask, (rclb - xlb * rplb) / slb, 0.0)
+                - jnp.where(pre.ubmask, (rcub - xub * rpub) / sub, 0.0)
                 - rd
             )
             rhs = jnp.where(pre.fix, 0.0, rhs)
-            dy = chol_solve(Lm, rhs)
+            dy = jnp.einsum("xij,xj->xi", Minv, rhs)
             dS = bmap(lambda t: jnp.where(
                 pad_outer[t],
-                jnp.einsum("kjab,xj->xkab", data.A[t], dy) + Rp[t],
+                jnp.einsum("kjab,xj->xkab", Ad[t], dy) + Rp[t],
                 0.0))
             dsl = jnp.where(pre.rowmask,
-                            jnp.einsum("xpm,xm->xp", Gall, dy) + rpl, 0.0)
+                            jnp.einsum("xpm,xm->xp", Gd, dy) + rpl, 0.0)
             dslb = jnp.where(pre.lbmask, dy + rplb, 0.0)
             dsub = jnp.where(pre.ubmask, -dy + rpub, 0.0)
             dX = bmap(lambda t: jnp.where(pad_outer[t], sym(jnp.einsum(
                 "xkab,xkbc->xkac",
-                Rc[t] - jnp.einsum("xkab,xkbc->xkac", st.X[t], dS[t]),
+                Rc[t] - jnp.einsum("xkab,xkbc->xkac", X[t], dS[t]),
                 Sinv[t])), 0.0))
-            dxl = jnp.where(pre.rowmask, (rcl - st.xl * dsl) / st.sl, 0.0)
-            dxlb = jnp.where(pre.lbmask, (rclb - st.xlb * dslb) / st.slb, 0.0)
-            dxub = jnp.where(pre.ubmask, (rcub - st.xub * dsub) / st.sub, 0.0)
+            dxl = jnp.where(pre.rowmask, (rcl - xl * dsl) / sl, 0.0)
+            dxlb = jnp.where(pre.lbmask, (rclb - xlb * dslb) / slb, 0.0)
+            dxub = jnp.where(pre.ubmask, (rcub - xub * dsub) / sub, 0.0)
             return dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub
 
         if settings.step_rule == "power":
-            psd_step = max_step_psd_power
+            def psd_ymat_step(Y):
+                return max_step_from_ymat(Y)
         elif settings.step_rule == "gershgorin":
-            psd_step = None   # assigned below (psd_step_cheap)
+            psd_ymat_step = gersh_step_from_ymat
         else:
-            psd_step = max_step_psd
+            psd_ymat_step = max_step_eigh_from_ymat
 
-        def min_over_buckets(step_fn, Lt, dMt):
-            vals = bmap(lambda t: jnp.min(step_fn(Lt[t], dMt[t]), axis=1))
-            return jnp.min(jnp.stack(vals), axis=0)
+        def psd_steps(dX, dS, step_fn):
+            """min over blocks of the X- and S-side PSD max-steps, with the
+            X/S congruence transforms stacked into one kernel sequence."""
+            apv, adv = [], []
+            for t in range(NB):
+                Yb = ymat(jnp.concatenate([Lxinv[t], Lsinv[t]], axis=1),
+                          jnp.concatenate([dX[t], dS[t]], axis=1))
+                stp = step_fn(Yb)
+                Kt = dX[t].shape[1]
+                apv.append(jnp.min(stp[:, :Kt], axis=1))
+                adv.append(jnp.min(stp[:, Kt:], axis=1))
+            return (jnp.min(jnp.stack(apv), axis=0),
+                    jnp.min(jnp.stack(adv), axis=0))
 
-        def steplens(dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub):
-            ap = min_over_buckets(psd_step, Lx, dX)
-            ap = jnp.minimum(ap, max_step_pos(st.xl, dxl, pre.rowmask))
-            ap = jnp.minimum(ap, max_step_pos(st.xlb, dxlb, pre.lbmask))
-            ap = jnp.minimum(ap, max_step_pos(st.xub, dxub, pre.ubmask))
-            ad = min_over_buckets(psd_step, Ls, dS)
-            ad = jnp.minimum(ad, max_step_pos(st.sl, dsl, pre.rowmask))
-            ad = jnp.minimum(ad, max_step_pos(st.slb, dslb, pre.lbmask))
-            ad = jnp.minimum(ad, max_step_pos(st.sub, dsub, pre.ubmask))
+        def steplens(dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub, step_fn):
+            ap, ad = psd_steps(dX, dS, step_fn)
+            ap = jnp.minimum(ap, max_step_pos(xl, dxl, pre.rowmask))
+            ap = jnp.minimum(ap, max_step_pos(xlb, dxlb, pre.lbmask))
+            ap = jnp.minimum(ap, max_step_pos(xub, dxub, pre.ubmask))
+            ad = jnp.minimum(ad, max_step_pos(sl, dsl, pre.rowmask))
+            ad = jnp.minimum(ad, max_step_pos(slb, dslb, pre.lbmask))
+            ad = jnp.minimum(ad, max_step_pos(sub, dsub, pre.ubmask))
             return ap, ad
 
-        XS = bmap(lambda t: jnp.einsum("xkab,xkbc->xkac", st.X[t], st.S[t]))
+        XS = bmap(lambda t: jnp.einsum("xkab,xkbc->xkac", X[t], S[t]))
         # predictor (affine scaling)
         Rc_a = bmap(lambda t: jnp.where(pad_outer[t], -XS[t], 0.0))
-        rcl_a = jnp.where(pre.rowmask, -st.xl * st.sl, 0.0)
-        rclb_a = jnp.where(pre.lbmask, -st.xlb * st.slb, 0.0)
-        rcub_a = jnp.where(pre.ubmask, -st.xub * st.sub, 0.0)
+        rcl_a = jnp.where(pre.rowmask, -xl * sl, 0.0)
+        rclb_a = jnp.where(pre.lbmask, -xlb * slb, 0.0)
+        rcub_a = jnp.where(pre.ubmask, -xub * sub, 0.0)
         da = direction(Rc_a, rcl_a, rclb_a, rcub_a)
         dy_a, dX_a, dS_a, dxl_a, dsl_a, dxlb_a, dslb_a, dxub_a, dsub_a = da
-        # the affine step lengths only feed Mehrotra's sigma estimate, so a
-        # cheap conservative Gershgorin bound replaces the exact PSD
-        # max-step (halves the eigendecompositions per iteration)
-        def psd_step_cheap(L, dM):
-            W = jax.scipy.linalg.solve_triangular(L, dM, lower=True)
-            Y = jax.scipy.linalg.solve_triangular(
-                L, jnp.swapaxes(W, -1, -2), lower=True)
-            lam_bound = jnp.max(jnp.sum(jnp.abs(sym(Y)), axis=-1), axis=-1)
-            return 1.0 / jnp.maximum(lam_bound, 1e-300)
-
-        if settings.step_rule == "gershgorin":
-            # eigh-free corrector steps too: Gershgorin bound + the
-            # Cholesky-probe repair loop below — trades a few extra
-            # iterations for zero per-iteration eigendecompositions
-            # (f64 eigh dominates on TPU)
-            psd_step = psd_step_cheap
-
-        ap_a = min_over_buckets(psd_step_cheap, Lx, dX_a)
-        ap_a = jnp.minimum(ap_a, max_step_pos(st.xl, dxl_a, pre.rowmask))
-        ap_a = jnp.minimum(ap_a, max_step_pos(st.xlb, dxlb_a, pre.lbmask))
-        ap_a = jnp.minimum(ap_a, max_step_pos(st.xub, dxub_a, pre.ubmask))
-        ad_a = min_over_buckets(psd_step_cheap, Ls, dS_a)
-        ad_a = jnp.minimum(ad_a, max_step_pos(st.sl, dsl_a, pre.rowmask))
-        ad_a = jnp.minimum(ad_a, max_step_pos(st.slb, dslb_a, pre.lbmask))
-        ad_a = jnp.minimum(ad_a, max_step_pos(st.sub, dsub_a, pre.ubmask))
+        # the affine step lengths only feed Mehrotra's sigma estimate, so
+        # the cheap conservative Gershgorin bound replaces the exact PSD
+        # max-step here regardless of step rule
+        ap_a, ad_a = steplens(dX_a, dS_a, dxl_a, dsl_a, dxlb_a, dslb_a,
+                              dxub_a, dsub_a, gersh_step_from_ymat)
         ap_a = jnp.minimum(ap_a, 1.0)
         ad_a = jnp.minimum(ad_a, 1.0)
 
         # Mehrotra centering parameter
         apx = ap_a[:, None, None, None]
         adx = ad_a[:, None, None, None]
+        gap = cast(ev.gap)
         gap_sdp_a = bsum(bmap(lambda t: jnp.sum(jnp.where(
             pad_outer[t],
-            (st.X[t] + apx * dX_a[t]) * (st.S[t] + adx * dS_a[t]), 0.0),
+            (X[t] + apx * dX_a[t]) * (S[t] + adx * dS_a[t]), 0.0),
             axis=(1, 2, 3))))
         gap_a = (
             gap_sdp_a
             + jnp.sum(jnp.where(pre.rowmask,
-                                (st.xl + ap_a[:, None] * dxl_a)
-                                * (st.sl + ad_a[:, None] * dsl_a), 0.0), axis=1)
+                                (xl + ap_a[:, None] * dxl_a)
+                                * (sl + ad_a[:, None] * dsl_a), 0.0), axis=1)
             + jnp.sum(jnp.where(pre.lbmask,
-                                (st.xlb + ap_a[:, None] * dxlb_a)
-                                * (st.slb + ad_a[:, None] * dslb_a), 0.0), axis=1)
+                                (xlb + ap_a[:, None] * dxlb_a)
+                                * (slb + ad_a[:, None] * dslb_a), 0.0), axis=1)
             + jnp.sum(jnp.where(pre.ubmask,
-                                (st.xub + ap_a[:, None] * dxub_a)
-                                * (st.sub + ad_a[:, None] * dsub_a), 0.0), axis=1)
+                                (xub + ap_a[:, None] * dxub_a)
+                                * (sub + ad_a[:, None] * dsub_a), 0.0), axis=1)
         )
-        sigma = jnp.clip((jnp.maximum(gap_a, 0.0) / jnp.maximum(gap, 1e-300)) ** 3,
-                         settings.sigma_min, 1.0)
+        sigma = jnp.clip(
+            (jnp.maximum(gap_a, 0.0) / jnp.maximum(gap, 1e-30)) ** 3,
+            settings.sigma_min, 1.0)
 
         # corrector
         smu = (sigma * mu)[:, None, None, None]
         Rc_c = bmap(lambda t: jnp.where(
             pad_outer[t],
-            smu * eye_active[t] - XS[t]
+            smu * eye_act[t] - XS[t]
             - jnp.einsum("xkab,xkbc->xkac", dX_a[t], dS_a[t]),
             0.0))
         rcl_c = jnp.where(pre.rowmask,
-                          sigma[:, None] * mu[:, None] - st.xl * st.sl
+                          sigma[:, None] * mu[:, None] - xl * sl
                           - dxl_a * dsl_a, 0.0)
         rclb_c = jnp.where(pre.lbmask,
-                           sigma[:, None] * mu[:, None] - st.xlb * st.slb
+                           sigma[:, None] * mu[:, None] - xlb * slb
                            - dxlb_a * dslb_a, 0.0)
         rcub_c = jnp.where(pre.ubmask,
-                           sigma[:, None] * mu[:, None] - st.xub * st.sub
+                           sigma[:, None] * mu[:, None] - xub * sub
                            - dxub_a * dsub_a, 0.0)
         dc = direction(Rc_c, rcl_c, rclb_c, rcub_c)
         dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub = dc
-        ap, ad = steplens(dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub)
-        # NOTE: an adaptive fraction-to-boundary rule (tau -> tau_final
-        # once the relative gap is small) was measured NET NEGATIVE here:
+        ap, ad = steplens(dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub,
+                          psd_ymat_step)
+        # NOTE: an adaptive fraction-to-boundary rule (tau -> 0.98 once the
+        # relative gap is small) was measured NET NEGATIVE here:
         # example_small 30->63 iterations with extra recovery-ladder rungs
         # (aggressive tail steps destabilize instances in the same batch)
         ap = jnp.minimum(settings.tau * ap, 1.0)
@@ -721,19 +828,49 @@ def ipm_solve(
 
         if settings.step_rule == "power":
             # the power estimate can overshoot the PSD boundary: probe the
-            # stepped matrices with a Cholesky and shrink offending steps
+            # stepped matrices with a (stacked) Cholesky and shrink
+            # offending steps
             for _ in range(2):
                 okx = jnp.ones((B,), bool)
                 oks = jnp.ones((B,), bool)
                 for t in range(NB):
-                    okx = okx & ~jnp.any(jnp.isnan(jnp.linalg.cholesky(
-                        st.X[t] + ap[:, None, None, None] * dX[t])),
-                        axis=(1, 2, 3))
-                    oks = oks & ~jnp.any(jnp.isnan(jnp.linalg.cholesky(
-                        st.S[t] + ad[:, None, None, None] * dS[t])),
-                        axis=(1, 2, 3))
+                    Kt = dX[t].shape[1]
+                    probe = jnp.concatenate(
+                        [X[t] + ap[:, None, None, None] * dX[t],
+                         S[t] + ad[:, None, None, None] * dS[t]], axis=1)
+                    Lp = jnp.linalg.cholesky(probe)
+                    nan_half = jnp.any(jnp.isnan(Lp), axis=(2, 3))
+                    okx = okx & ~jnp.any(nan_half[:, :Kt], axis=1)
+                    oks = oks & ~jnp.any(nan_half[:, Kt:], axis=1)
                 ap = jnp.where(okx, ap, 0.4 * ap)
                 ad = jnp.where(oks, ad, 0.4 * ad)
+
+        f64 = jnp.float64 if dtype == jnp.float64 else dtype
+
+        def up(a):
+            return a.astype(f64)
+
+        return (up(dy), tuple(up(v) for v in dX), tuple(up(v) for v in dS),
+                up(dxl), up(dsl), up(dxlb), up(dslb), up(dxub), up(dsub),
+                up(ap), up(ad))
+
+    def body(carry):
+        st, ev = carry
+        if use_phase32:
+            # whole-batch precision pick: f32 only while EVERY active
+            # instance is still far from convergence (a near-converged
+            # instance needs f64-accurate directions)
+            use32 = jnp.all(jnp.where(~st.done,
+                                      ev.relgap > settings.phase32_switch,
+                                      True)) & ~jnp.all(st.done)
+            prods = jax.lax.cond(
+                use32,
+                lambda c: iter_products(c[0], c[1], jnp.float32),
+                lambda c: iter_products(c[0], c[1], dtype),
+                (st, ev))
+        else:
+            prods = iter_products(st, ev, dtype)
+        dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub, ap, ad = prods
 
         # freeze finished instances; detect numerical failure (NaN)
         bad = jnp.any(jnp.isnan(dy), axis=1) | jnp.isnan(ap) | jnp.isnan(ad)
@@ -741,19 +878,30 @@ def ipm_solve(
             bad = bad | jnp.any(jnp.isnan(dX[t]), axis=(1, 2, 3))
         failed = st.failed | (bad & ~st.done)
         act = (~st.done) & ~bad
-        ap = jnp.where(act, ap, 0.0)
-        ad = jnp.where(act, ad, 0.0)
+        # guarded updates (where, not multiply-by-zero: 0 * NaN = NaN
+        # would poison frozen instances' states)
+        a1 = jnp.where(act, ap, 0.0)[:, None]
+        a2 = jnp.where(act, ad, 0.0)[:, None]
+        a1x = a1[:, :, None, None]
+        a2x = a2[:, :, None, None]
+        actx = act[:, None, None, None]
+
+        def updm(old, d, a):
+            return jnp.where(actx, old + a * d, old)
+
+        def updv(old, d, a):
+            return jnp.where(act[:, None], old + a * d, old)
 
         new = IPMState(
-            y=st.y + ad[:, None] * dy,
-            X=bmap(lambda t: st.X[t] + ap[:, None, None, None] * dX[t]),
-            S=bmap(lambda t: st.S[t] + ad[:, None, None, None] * dS[t]),
-            xl=st.xl + ap[:, None] * dxl,
-            sl=st.sl + ad[:, None] * dsl,
-            xlb=st.xlb + ap[:, None] * dxlb,
-            slb=st.slb + ad[:, None] * dslb,
-            xub=st.xub + ap[:, None] * dxub,
-            sub=st.sub + ad[:, None] * dsub,
+            y=updv(st.y, dy, a2),
+            X=bmap(lambda t: updm(st.X[t], dX[t], a1x)),
+            S=bmap(lambda t: updm(st.S[t], dS[t], a2x)),
+            xl=updv(st.xl, dxl, a1),
+            sl=updv(st.sl, dsl, a2),
+            xlb=updv(st.xlb, dxlb, a1),
+            slb=updv(st.slb, dslb, a2),
+            xub=updv(st.xub, dxub, a1),
+            sub=updv(st.sub, dsub, a2),
             it=st.it + 1,
             done=st.done,
             converged=st.converged,
@@ -761,29 +909,29 @@ def ipm_solve(
             best_merit=st.best_merit,
             stall=st.stall,
         )
-        conv, gap_n, pinf_n, dinf_n = converged_mask(new)
+        ev_n = evaluate(new)
+        conv = ev_n.conv
         # stall detection: instances making no progress burn the whole
         # batch's wall clock (the while_loop runs until ALL are done) —
         # declare them failed early and let the recovery ladder handle them
-        merit = gap_n / (1.0 + jnp.abs(jnp.sum(b * new.y, axis=1))) \
-            + pinf_n + dinf_n
+        merit = ev_n.relgap + ev_n.pinf + ev_n.dinf
         improved = merit < 0.8 * new.best_merit
         best_merit = jnp.where(improved, merit, new.best_merit)
         stall_cnt = jnp.where(improved | new.done, 0, new.stall + 1)
         stalled = stall_cnt >= 15
         failed2 = new.failed | (stalled & ~new.done & ~conv)
         newly_conv = conv & ~new.done & ~failed2
-        return new._replace(
+        return (new._replace(
             converged=new.converged | newly_conv,
             done=new.done | newly_conv | failed2,
             failed=failed2,
             best_merit=best_merit,
             stall=stall_cnt,
-        )
+        ), ev_n)
 
-    st = jax.lax.while_loop(cond, body, st0)
+    st, ev = jax.lax.while_loop(cond, body, (st0, evaluate(st0)))
 
-    conv, gap, pinf, dinf = converged_mask(st)
+    conv, gap, pinf, dinf = ev.conv, ev.gap, ev.pinf, ev.dinf
     converged = st.converged | (conv & ~pre.conflict & ~pre.allfixed)
     yh = jnp.where(pre.fix, pre.fixval, st.y)
     dobj = jnp.sum(b * yh, axis=1)

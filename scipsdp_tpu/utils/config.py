@@ -51,6 +51,21 @@ class IPMSettings:
                                    # reach gaptol 1e-5, so the tier only
                                    # pays off with loosened tolerances —
                                    # off by default
+    phase32: str = "auto"          # inexact-Newton mixed precision INSIDE
+                                   # one solve: while every active
+                                   # instance's relative gap is above
+                                   # ``phase32_switch``, search directions
+                                   # (factorizations + solves + matmuls)
+                                   # are computed in f32 against the exact
+                                   # f64 residuals; the endgame runs full
+                                   # f64.  On v5e, f64 is software-emulated
+                                   # and an f32 IPM iteration measured 26x
+                                   # cheaper (2.3 vs 63 ms at batch 8) —
+                                   # this buys most of that without losing
+                                   # the 1e-5 tolerances.  "auto": on for
+                                   # TPU, off for CPU (native f64; keeps
+                                   # parity iteration counts)
+    phase32_switch: float = 1e-3   # relative-gap handoff point
     tau: float = 0.95              # fraction-to-boundary step factor
     #   (an adaptive tau->0.98 tail rule was measured NET NEGATIVE:
     #   example_small 30->63 iterations with extra ladder rungs)
@@ -112,6 +127,13 @@ class BBSettings:
     # projection in ops/ipm.py); 4 = solve the primal/dual rounding
     # problems first (core/probing.py::rounding_problem)
     warmstartproject: int = 2      # DEFAULT_WARMSTARTPROJECT
+    warmstartiptype: int = 1       # DEFAULT_WARMSTARTIPTYPE: 1 scaled
+                                   # identity, 2 root analytic centers
+                                   # (SCIPrelaxSdpComputeAnalyticCenters,
+                                   # relax_sdp.c:5589; prop_companalcent)
+    warmstartprimal: bool = True   # feed the stored parent X as the IPM
+                                   # primal start (fillStartX,
+                                   # relax_sdp.c:2959-3049)
     warmstartroundonlyinf: bool = False  # DEFAULT_WARMSTARTROUNDONLYINF
     objlimit_pruning: bool = True
     # conflict constraints from relaxation certificates (relax_sdp.c:100-105
@@ -121,6 +143,14 @@ class BBSettings:
     conflictinfeas: bool = True    # DEFAULT_CONFLICTINFEAS (Farkas rows)
     conflictcmir: bool = False     # DEFAULT_CONFLICTCMIR
     max_conflict_rows: int = 256   # rolling cap on stored conflict rows
+    # device-resident B&B (core/turbo.py): "auto" uses it whenever the
+    # problem fits its feature set (integer branching, no rank-1 /
+    # indicator / lift enforcement, best-first), falling back to the host
+    # loop otherwise or when turbo bails (frontier overflow, ladder-hard
+    # instances); "on" forces eligibility checks only; "off" disables
+    turbo: str = "auto"
+    turbo_capacity: int = 2048     # frontier slab slots (device HBM)
+    turbo_rounds: int = 8          # B&B rounds fused per device dispatch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,3 +218,21 @@ class Settings:
 
 def default_settings(**kw) -> Settings:
     return Settings(**kw)
+
+
+def resolve_backend_autos(settings: Settings) -> Settings:
+    """Resolve backend-dependent "auto" IPM knobs (step_rule, phase32) for
+    the active jax backend; idempotent."""
+    ipm = settings.ipm
+    if ipm.step_rule != "auto" and ipm.phase32 != "auto":
+        return settings
+    import jax
+
+    backend = jax.default_backend()
+    repl = {}
+    if ipm.step_rule == "auto":
+        repl["step_rule"] = "eigh" if backend == "cpu" else "power"
+    if ipm.phase32 == "auto":
+        repl["phase32"] = "off" if backend == "cpu" else "on"
+    return dataclasses.replace(
+        settings, ipm=dataclasses.replace(ipm, **repl))

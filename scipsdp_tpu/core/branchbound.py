@@ -66,6 +66,8 @@ class BBStats:
     sep_rounds: int = 0
     redcost_tightenings: int = 0
     roundingprobinf: int = 0  # nodes cut off by the primal rounding problem
+    nstolen: int = 0          # nodes received from other hosts (multi-host)
+    ndonated: int = 0         # nodes donated to other hosts (multi-host)
     wall_time: float = 0.0
     solve_time: float = 0.0   # device relaxation-solve time (sdpiclock role)
 
@@ -478,11 +480,19 @@ def load_checkpoint(path: str):
 def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 log: bool = False, checkpoint: Optional[str] = None,
                 checkpoint_every: int = 50,
-                resume: bool = False) -> BBResult:
+                resume: bool = False,
+                sync_hook=None) -> BBResult:
     """Solve a MISDP by branch-and-bound with batched relaxation solves.
 
     ``checkpoint``: path for periodic frontier+incumbent snapshots (every
-    ``checkpoint_every`` batches); ``resume=True`` restarts from it."""
+    ``checkpoint_every`` batches); ``resume=True`` restarts from it.
+
+    ``sync_hook``: multi-host coordination callback (parallel/multihost's
+    DistributedSync).  Called once per loop iteration IN LOCKSTEP across
+    hosts with a SyncCtx; may adopt a remote incumbent value, donate or
+    receive frontier nodes, and reports global termination.  While the
+    hook is set the loop keeps spinning (syncing) even with an empty
+    local frontier until every host is out of work."""
     settings = settings or Settings()
     bb = settings.bb
     feastol = bb.feastol
@@ -534,13 +544,16 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             prob, root_lb, root_ub)
         root_lb, root_ub, root_conflict = tighten_bounds(
             prob, root_lb, root_ub)
-    if root_conflict:
+    if root_conflict and sync_hook is None:
+        # with a sync hook the host must keep participating in the
+        # lockstep protocol (it may also receive stolen work), so it
+        # falls through to the loop with an empty frontier instead
         stats.wall_time = time.time() - t0
         return BBResult(SolveStatus.INFEASIBLE, None, None,
                         prob.external_objval(np.inf), 0.0, stats)
 
     # optional root inner-approximation LP heuristic (heur_sdpinnerlp.c)
-    if bb.heuristic_innerlp:
+    if bb.heuristic_innerlp and not root_conflict:
         from scipsdp_tpu.core.probing import inner_lp_point
         y_in, ok_in = inner_lp_point(prob, settings)
         if ok_in and y_in is not None:
@@ -558,7 +571,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
 
     # root analytic centers for warmstartiptype = 2 (prop_companalcent.c
     # one-shot trigger of SCIPrelaxSdpComputeAnalyticCenters)
-    if bb.warmstart and bb.warmstartiptype == 2 and not sol.lp_mode:
+    if (bb.warmstart and bb.warmstartiptype == 2 and not sol.lp_mode
+            and not root_conflict):
         from scipsdp_tpu.core.probing import analytic_center
         ac_y, ac_ok, ac_X = analytic_center(
             sol.iface, root_lb[None, :], root_ub[None, :], with_X=True)
@@ -566,7 +580,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             sol.iface.set_interior_point(ac_y[0], ac_X)
 
     # optional root OBBT (prop_sdpobbt.c)
-    if bb.obbt_at_root and not sol.lp_mode:
+    if bb.obbt_at_root and not sol.lp_mode and not root_conflict:
         from scipsdp_tpu.core.probing import obbt_root
         targets = np.where(integral)[0]
         if targets.size:
@@ -580,7 +594,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
     # jitted chunks; the host loop below remains the general/fallback engine
     from scipsdp_tpu.core import turbo as _turbo
     if (_turbo.eligible(prob, sol.dense, settings, sol.lp_mode)
-            and not settings.use_mesh and checkpoint is None and not resume):
+            and not settings.use_mesh and checkpoint is None and not resume
+            and sync_hook is None):
         tres = _turbo.solve_turbo(
             sol.dense, prob, dataclasses.replace(settings, bb=bb),
             root_lb, root_ub, incumbent_val, incumbent_y,
@@ -638,18 +653,80 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             _push_node(_Node(nlb, nub, nbound, ndepth), nbound)
         if not len(frontier) and incumbent_y is None:
             resume = False
-    if not len(frontier) and (not resume or incumbent_y is None):
+    if (not len(frontier) and (not resume or incumbent_y is None)
+            and not root_conflict):
         _push_node(_Node(root_lb, root_ub, -np.inf, 0), -np.inf)
 
     unbounded = False
     hit_limit: Optional[SolveStatus] = None
+    remote_inc = False   # incumbent VALUE adopted from another host (no y)
 
-    while len(frontier):
-        if stats.nodes >= bb.node_limit:
+    class _SyncCtx:
+        """What a multi-host sync hook may see and do at the barrier
+        (all frontier nodes are at rest when the hook runs)."""
+
+        stopping = False   # this host hit a local limit (set by the loop)
+
+        @property
+        def nvars(self):
+            return m   # internal variable-space dimension (node box width)
+
+        @property
+        def incumbent_val(self):
+            return incumbent_val
+
+        @property
+        def nopen(self):
+            return len(frontier)
+
+        @property
+        def best_open_bound(self):
+            return (frontier.best_bound() if len(frontier) else np.inf)
+
+        def adopt_incumbent(self, val: float) -> None:
+            nonlocal incumbent_val, remote_inc
+            if val < incumbent_val - 1e-12:
+                incumbent_val = val
+                remote_inc = True
+
+        def pop_for_donation(self, k: int):
+            """Up to k cut-free nodes as plain (lb, ub, bound, depth)
+            boxes; nodes carrying node-local cuts stay home (their cuts
+            are only locally derived)."""
+            out = []
+            keep = []
+            for (nlb, nub, prio, ndepth, side) in frontier.pop_upto(k):
+                if side[1]:
+                    keep.append((nlb, nub, prio, ndepth, side))
+                else:
+                    out.append((nlb, nub, side[0], ndepth))
+            for (nlb, nub, prio, ndepth, side) in keep:
+                frontier.push(nlb, nub, prio, ndepth, side=side)
+            stats.ndonated += len(out)
+            return out
+
+        def push_nodes(self, nodes) -> None:
+            for (nlb, nub, nbound, ndepth) in nodes:
+                _push_node(_Node(np.asarray(nlb), np.asarray(nub),
+                                 float(nbound), int(ndepth)), float(nbound))
+            stats.nstolen += len(nodes)
+
+    sync_ctx = _SyncCtx() if sync_hook is not None else None
+
+    while True:
+        if hit_limit is None and stats.nodes >= bb.node_limit:
             hit_limit = SolveStatus.NODE_LIMIT
-            break
-        if time.time() - t0 > bb.time_limit:
+        if hit_limit is None and time.time() - t0 > bb.time_limit:
             hit_limit = SolveStatus.TIME_LIMIT
+        if sync_hook is not None:
+            sync_ctx.stopping = hit_limit is not None
+            if sync_hook(sync_ctx):
+                break
+            if hit_limit is not None or not len(frontier):
+                # keep participating (a stopped host's nodes can still be
+                # stolen and drained by the others) until global done
+                continue
+        elif hit_limit is not None or not len(frontier):
             break
 
         # bound pruning slack: rank-1 heuristic incumbents are only

@@ -101,13 +101,106 @@ def partition_root(prob: MISDP, nparts: int) -> List[Tuple[np.ndarray, np.ndarra
     return parts[:nparts]
 
 
+class DistributedSync:
+    """Lockstep multi-host coordination for the B&B loop.
+
+    `solve_misdp` calls this hook once per loop iteration on EVERY host
+    (a barrier: all frontier nodes are at rest).  Each call all-gathers a
+    small scalar vector (incumbent value, best open bound, open-node
+    count); every ``sync_every``-th call additionally runs a work-stealing
+    exchange when some host is idle while another still has open nodes.
+
+    Work stealing protocol (deterministic, computed identically on every
+    host from the gathered loads): the most-loaded host donates up to
+    ``max_steal`` cut-free nodes, serialized as flat (lb, ub, bound,
+    depth) boxes into a fixed-shape buffer; idle hosts take round-robin
+    slices of the donated batch.
+
+    Termination: globally done when no host has open nodes at the
+    barrier (nothing is in flight at hook time, so the count is exact).
+    """
+
+    def __init__(self, nvars: int = -1, sync_every: int = 4,
+                 max_steal: int = 8):
+        self.nvars = nvars   # informational; the live width comes from ctx
+        self.sync_every = max(1, sync_every)
+        self.max_steal = max_steal
+        self.calls = 0
+        self.global_incumbent = np.inf
+        self.global_bound = np.inf
+
+    def _allgather(self, vec: np.ndarray) -> np.ndarray:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(vec))
+
+    def __call__(self, ctx) -> bool:
+        self.calls += 1
+        pid = jax.process_index()
+        local = np.array([ctx.incumbent_val, ctx.best_open_bound,
+                          float(ctx.nopen),
+                          1.0 if getattr(ctx, "stopping", False) else 0.0])
+        allv = self._allgather(local)
+        ginc = float(np.min(allv[:, 0]))
+        self.global_incumbent = ginc
+        self.global_bound = float(np.min(
+            np.minimum(allv[:, 1], allv[:, 0])))
+        if ginc < ctx.incumbent_val - 1e-12:
+            ctx.adopt_incumbent(ginc)
+        loads = allv[:, 2].astype(int)
+        stopped = allv[:, 3] > 0.5
+        # done when every host is out of work or has hit its local limit
+        if bool(np.all(stopped | (loads == 0))):
+            return True
+
+        if self.calls % self.sync_every == 0:
+            # receivers: running hosts that are idle; donor: the most
+            # loaded host (a stopped host's open nodes are drained by the
+            # running ones)
+            idle = np.where((loads == 0) & ~stopped)[0]
+            donor = int(np.argmax(loads))
+            if len(idle) and loads[donor] > 1:
+                # node boxes live in the INTERNAL (presolved) variable
+                # space, identical on every host because distributed mode
+                # disables bound-dependent presolve shrinkage
+                m = ctx.nvars
+                width = 2 * m + 2
+                buf = np.full((self.max_steal, width), np.nan)
+                if pid == donor:
+                    nodes = ctx.pop_for_donation(
+                        min(self.max_steal, int(loads[donor]) // 2))
+                    for i, (nlb, nub, nbound, ndepth) in enumerate(nodes):
+                        buf[i] = np.concatenate(
+                            [nlb, nub, [nbound, float(ndepth)]])
+                allbuf = self._allgather(buf)      # (nproc, K, width)
+                donated = allbuf[donor]
+                valid = ~np.isnan(donated[:, -2])
+                take = []
+                for i in np.where(valid)[0]:
+                    # round-robin over idle hosts
+                    tgt = idle[i % len(idle)]
+                    if tgt == pid:
+                        row = donated[i]
+                        take.append((row[:m], row[m:2 * m],
+                                     float(row[-2]), int(row[-1])))
+                if take:
+                    ctx.push_nodes(take)
+        return False
+
+
 def solve_misdp_distributed(prob: MISDP,
                             settings: Optional[Settings] = None,
-                            sync_every: int = 4):
-    """Distributed B&B: each process solves its frontier partition with the
-    local `solve_misdp` machinery, periodically syncing incumbent/bounds.
+                            sync_every: int = 4,
+                            max_steal: int = 8):
+    """Distributed B&B: each process starts on a partition of the root box
+    and runs the local `solve_misdp` machinery with a lockstep
+    DistributedSync hook — periodic incumbent/dual-bound synchronization
+    and dynamic work redistribution when a host's frontier empties
+    (the north-star scale-out of SURVEY.md section 2.5; the reference has
+    no distributed mode at all).
 
-    Single-process: equivalent to solve_misdp(prob).
+    Single-process: equivalent to solve_misdp(prob).  The incumbent
+    SOLUTION vector lives on the host that found it; every host returns
+    the globally reduced objective and dual bound.
     """
     from scipsdp_tpu.core.branchbound import solve_misdp
 
@@ -115,16 +208,32 @@ def solve_misdp_distributed(prob: MISDP,
     if nproc == 1:
         return solve_misdp(prob, settings)
 
+    # stolen node boxes must live in ONE shared variable space: disable
+    # the bound-dependent presolve reductions (fixing/aggregation depend
+    # on each host's root partition)
+    settings = settings or Settings()
+    settings = dataclasses.replace(
+        settings,
+        presolve=dataclasses.replace(settings.presolve, fixvars=False,
+                                     aggregate=False))
     lb, ub = partition_root(prob, nproc)[pid]
     sub = dataclasses.replace(prob, lb=lb, ub=ub)
-    res = solve_misdp(sub, settings)
+    hook = DistributedSync(prob.nvars, sync_every=sync_every,
+                           max_steal=max_steal)
+    res = solve_misdp(sub, settings, sync_hook=hook)
     # final reduction of objectives/bounds across hosts
     inc = res.objval if res.objval is not None else np.inf
     ginc, gbound, _ = sync_bounds(
         inc * prob.objsense if res.objval is not None else np.inf,
-        res.dual_bound * prob.objsense, 0)
+        res.dual_bound * prob.objsense, res.stats.nodes)
+    from scipsdp_tpu.utils.status import SolveStatus
+    status = res.status
+    if np.isfinite(ginc) and status == SolveStatus.INFEASIBLE:
+        # another host holds the incumbent
+        status = SolveStatus.OPTIMAL
     return dataclasses.replace(
         res,
+        status=status,
         objval=(prob.objsense * ginc if np.isfinite(ginc) else None),
         dual_bound=prob.objsense * gbound,
     )

@@ -66,6 +66,7 @@ class BBStats:
     sep_rounds: int = 0
     redcost_tightenings: int = 0
     roundingprobinf: int = 0  # nodes cut off by the primal rounding problem
+    nnogoods: int = 0         # learned binary no-good conflict rows
     nstolen: int = 0          # nodes received from other hosts (multi-host)
     ndonated: int = 0         # nodes donated to other hosts (multi-host)
     wall_time: float = 0.0
@@ -208,10 +209,21 @@ class _Solver:
         # cached arrays for per-node activity propagation
         self._prop_cache = None
 
-    def propagate_node(self, lb: np.ndarray, ub: np.ndarray):
-        """Activity-based tightening at node creation (cached row data);
-        returns (lb, ub, conflict)."""
-        from scipsdp_tpu.core.propagate import tighten_bounds
+    _mv = None   # cached matrix view (constructMatrixvar, cons_sdp.c:570)
+
+    def propagate_node(self, lb: np.ndarray, ub: np.ndarray,
+                       depth: int = 0):
+        """Propagation at node creation; returns (lb, ub, conflict).
+
+        Activity-based tightening over LP + conflict rows always; every
+        ``prop_freq``-th depth additionally the SDP-structural
+        propagation of consPropSdp (cons_sdp.c:7046): upper-bound
+        propagation |X_st| <= sqrt(X_ss X_tt) and 3x3-minor equalities on
+        the matrix view — the reference runs these at EVERY node, not
+        just the root."""
+        from scipsdp_tpu.core.propagate import (
+            matrix_view, propagate_3minors, propagate_upper_bounds,
+            tighten_bounds)
         extra = None
         if self._conf_D:
             if self._conf_cache is None or len(self._conf_cache[1]) != len(
@@ -222,7 +234,49 @@ class _Solver:
                     np.full(len(self._conf_lhs), INF),
                 )
             extra = self._conf_cache
-        return tighten_bounds(self.prob, lb, ub, rounds=2, extra=extra)
+        lb, ub, conflict = tighten_bounds(self.prob, lb, ub, rounds=2,
+                                          extra=extra)
+        pf = self.settings.bb.prop_freq
+        if (not conflict and pf > 0 and depth % pf == 0
+                and self.prob.blocks):
+            if self._mv is None:
+                self._mv = matrix_view(self.prob)
+            nt = propagate_upper_bounds(self.prob, lb, ub, self._mv)
+            nt += propagate_3minors(self.prob, lb, ub, self._mv)
+            if nt:
+                self.stats.redcost_tightenings += nt
+                lb, ub, conflict = tighten_bounds(self.prob, lb, ub,
+                                                  rounds=1, extra=extra)
+        return lb, ub, conflict
+
+    def learn_nogood(self, clb: np.ndarray, cub: np.ndarray,
+                     root_lb: np.ndarray, root_ub: np.ndarray) -> None:
+        """Conflict analysis on a propagation-infeasible child
+        (cons_sdp.c:4793,5138 analog): the set of binary fixings that led
+        here cannot all hold together — learn the binary no-good row
+        sum_{j fixed to 0} y_j + sum_{j fixed to 1} (1 - y_j) >= 1 as a
+        globally valid propagation row."""
+        bb = self.settings.bb
+        if len(self._conf_lhs) >= bb.max_conflict_rows:
+            return
+        binary = (self.prob.integral & (root_lb <= 0.0) & (root_ub >= 1.0)
+                  & (root_ub - root_lb <= 1.0 + 1e-9))
+        fix0 = binary & (cub <= 0.5) & (root_ub > 0.5)
+        fix1 = binary & (clb >= 0.5) & (root_lb < 0.5)
+        nfix = int(fix0.sum() + fix1.sum())
+        if nfix == 0 or nfix > 32:   # too-long no-goods never propagate
+            return
+        g = np.zeros(self.m)
+        g[fix0] = 1.0
+        g[fix1] = -1.0
+        lhs = 1.0 - float(fix1.sum())
+        key = (g.tobytes(), round(lhs, 9))
+        if key in self._conf_keys:
+            return
+        self._conf_keys.add(key)
+        self._conf_D.append(g)
+        self._conf_lhs.append(lhs)
+        self.stats.nnogoods += 1
 
     def collect_conflicts(self, batch: List[_Node], res) -> None:
         """Store conflict rows from this batch's certificates
@@ -748,7 +802,25 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 batch.append(_Node(nlb, nub, nbound, ndepth, ncuts, nreq,
                                    nysol, nxsol, nws))
         if not batch:
+            if sync_hook is not None:
+                continue
             break
+
+        # in-tree OBBT (prop_sdpobbt.c, PROP_FREQ=-1 in the reference —
+        # opt-in here via obbt_freq): tighten continuous bounds of nodes
+        # at qualifying depths with objective-cutoff probing solves
+        if bb.obbt_freq > 0 and not sol.lp_mode:
+            from scipsdp_tpu.core.probing import obbt_root
+            cont = np.where(~integral)[0]
+            for node in batch:
+                if (cont.size and node.depth > 0
+                        and node.depth % bb.obbt_freq == 0):
+                    node.lb, node.ub, nt = obbt_root(
+                        sol.full_iface, node.lb, node.ub, cont,
+                        (incumbent_val if np.isfinite(incumbent_val)
+                         else None),
+                        bb.batch_size, feastol)
+                    stats.redcost_tightenings += nt
 
         if bb.warmstart and bb.warmstartproject == 4 and not sol.lp_mode:
             # warmstartproject = 4: solve the rounding problems before the
@@ -1179,8 +1251,13 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
 
             for clb, cub, ccuts in children:
                 _apply_indicator_propagation(prob, clb, cub)
-                clb, cub, child_conflict = sol.propagate_node(clb, cub)
+                clb, cub, child_conflict = sol.propagate_node(
+                    clb, cub, node.depth + 1)
                 if child_conflict:
+                    # conflict analysis on the propagation conflict
+                    # (cons_sdp.c:4793): learn a binary no-good
+                    if bb.conflict_nogoods:
+                        sol.learn_nogood(clb, cub, root_lb, root_ub)
                     continue
                 if np.all(clb <= cub + feastol):
                     prio = (bound if bb.node_selection != "dfs"

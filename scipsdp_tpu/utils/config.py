@@ -121,6 +121,21 @@ class BBSettings:
     diving_freq: int = 0           # heur_sdpfracdiving batched dives every
                                    # N batches (0 = off)
     obbt_at_root: bool = False     # prop_sdpobbt root tightening
+    prop_freq: int = 1             # SDP-structural propagation cadence at
+                                   # node creation (consPropSdp role,
+                                   # cons_sdp.c:7046: propagateUpperBounds
+                                   # + propagate3Minors on the matrix
+                                   # view); every k-th depth, 0 = off.
+                                   # Reference cons_sdp PROP_FREQ = 1
+    obbt_freq: int = -1            # in-tree OBBT every k-th depth on the
+                                   # current node's box (prop_sdpobbt.c;
+                                   # the reference default PROP_FREQ = -1
+                                   # keeps it OFF)
+    conflict_nogoods: bool = True  # conflict analysis on propagation
+                                   # conflicts (cons_sdp.c:4793,5138
+                                   # analog): learn a binary no-good row
+                                   # from each propagation-infeasible
+                                   # child's fixings
     warmstart: bool = False        # relaxing/SDP/warmstart (DEFAULT FALSE)
     # warmstart recipe knobs (relax_sdp.c:77-86 defaults): project 2 =
     # clip the parent point into the child bounds (the interior-margin

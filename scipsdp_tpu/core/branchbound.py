@@ -69,6 +69,8 @@ class BBStats:
     nnogoods: int = 0         # learned binary no-good conflict rows
     nstolen: int = 0          # nodes received from other hosts (multi-host)
     ndonated: int = 0         # nodes donated to other hosts (multi-host)
+    orbital_fixings: int = 0  # 0-fixings from symmetry orbits
+    #                           (prop_sdpsymmetry.c role)
     wall_time: float = 0.0
     solve_time: float = 0.0   # device relaxation-solve time (sdpiclock role)
 
@@ -646,10 +648,21 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
     # device-resident B&B fast path (core/turbo.py): when the problem fits
     # turbo's feature set, the whole tree loop runs on device in K-round
     # jitted chunks; the host loop below remains the general/fallback engine
+    # full automorphism group for orbital fixing (compute_symmetry_bliss
+    # role; generators verified exactly — see core/symmetry.py)
+    sym_group = None
+    if (settings.use_symmetry
+            and getattr(settings, "symmetry_mode", "lexrows") == "orbital"
+            and not root_conflict):
+        from scipsdp_tpu.core.symmetry import automorphism_group
+        sym_group = automorphism_group(prob)
+        if not sym_group.nontrivial:
+            sym_group = None
+
     from scipsdp_tpu.core import turbo as _turbo
     if (_turbo.eligible(prob, sol.dense, settings, sol.lp_mode)
             and not settings.use_mesh and checkpoint is None and not resume
-            and sync_hook is None):
+            and sync_hook is None and sym_group is None):
         tres = _turbo.solve_turbo(
             sol.dense, prob, dataclasses.replace(settings, bb=bb),
             root_lb, root_ub, incumbent_val, incumbent_y,
@@ -805,6 +818,16 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             if sync_hook is not None:
                 continue
             break
+
+        # orbital fixing (prop_sdpsymmetry.c): in each orbit of the
+        # stabilizer of the node's 1-fixed binaries, a 0-fixed member
+        # fixes the whole orbit to 0
+        if sym_group is not None:
+            from scipsdp_tpu.core.symmetry import orbital_fixing
+            for node in batch:
+                node.ub, nf = orbital_fixing(sym_group, node.lb, node.ub,
+                                             integral, eps=feastol)
+                stats.orbital_fixings += nf
 
         # in-tree OBBT (prop_sdpobbt.c, PROP_FREQ=-1 in the reference —
         # opt-in here via obbt_freq): tighten continuous bounds of nodes

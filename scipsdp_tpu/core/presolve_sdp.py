@@ -459,7 +459,10 @@ def presolve_problem(prob: MISDP, settings) -> MISDP:
         extra += diag_ge_zero_rows(prob)
     if pres.twominorlinconss:
         extra += two_minor_lin_rows(prob)
-    if getattr(settings, "use_symmetry", False):
+    if (getattr(settings, "use_symmetry", False)
+            and getattr(settings, "symmetry_mode", "lexrows") == "lexrows"):
+        # "orbital" mode keeps the formulation symmetric: orbital fixing in
+        # the B&B (core/symmetry.orbital_fixing) owns those orbits instead
         from scipsdp_tpu.core.symmetry import symmetry_breaking_rows
         extra += symmetry_breaking_rows(prob)
     # presollinconssparam = 0 rows: propagate only (SDP mode) / relax (LP)

@@ -23,7 +23,7 @@ handling behind SCIP versions/params too).
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -260,3 +260,292 @@ def symmetry_breaking_rows(prob: MISDP) -> List[tuple]:
         for a, bvar in zip(orbit, orbit[1:]):
             rows.append(([a, bvar], [1.0, -1.0], 0.0, INF))
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Full automorphism group (bliss-role, compute_symmetry_bliss.cpp:1-1283)
+# ---------------------------------------------------------------------------
+#
+# The reference encodes the MISDP as a colored graph and calls the bliss
+# automorphism library; the generators feed orbital fixing in
+# prop_sdpsymmetry.c.  Here the same group is found by a direct backtracking
+# search over variable permutations:
+#
+#   * vertex invariants: the 1-WL colors above (necessary condition);
+#   * edge invariants: pairwise signatures R[j,k] — every automorphism must
+#     satisfy R[j,k] == R[sigma(j), sigma(k)] (rows and within-block index
+#     permutations are quotiented out of the signature);
+#   * each completed candidate permutation is verified EXACTLY by
+#     `_equivalent` (so a found generator is always a true formulation
+#     symmetry — the search can only be incomplete, never unsound).
+#
+# Orbits are built incrementally: for base variable a and each same-colored
+# b not yet in a's orbit, search for one automorphism with sigma(a) = b.
+
+def _pair_signatures(prob: MISDP, colors: np.ndarray) -> np.ndarray:
+    """R[j, k]: hash of all structure connecting variables j and k that is
+    invariant under row permutations and within-block index permutations."""
+    m = prob.nvars
+    acc: dict = {}
+
+    def add(j, k, item):
+        # DIRECTED pair signature: R[j, k] carries j's role first, so
+        # non-involutory symmetries (e.g. pure cyclic shifts) stay
+        # consistent under sigma: R[j,k] == R[sigma(j), sigma(k)]
+        acc.setdefault((j, k), []).append(item)
+
+    # LP rows: content hash (colors quotient the variable identity out)
+    D = prob.lp.dense(m)
+    for i in range(prob.lp.nrows):
+        nz = np.nonzero(D[i])[0]
+        h = hash((round(float(prob.lp.lhs[i]), 9),
+                  round(float(prob.lp.rhs[i]), 9),
+                  tuple(sorted((round(float(D[i, j]), 9), int(colors[j]))
+                               for j in nz))))
+        for a in nz:
+            for b in nz:
+                if a != b:
+                    add(int(a), int(b), ("row", h,
+                                         round(float(D[i, a]), 9),
+                                         round(float(D[i, b]), 9)))
+    # SDP blocks: two variables are related when entries share a matrix
+    # cell OR a matrix index (row/col) — both relations are invariant under
+    # within-block index permutations.  The index-sharing relation is what
+    # carries graph structure (e.g. MkP edge variables sharing a vertex).
+    for bi, blk in enumerate(prob.blocks):
+        bsig = hash((blk.size, bool(blk.rank1)))
+        cells: dict = {}
+        touch: dict = {}   # matrix index -> [(var, val, isdiag, other_idx)]
+        for j, r, c, v in zip(blk.var, blk.row, blk.col, blk.val):
+            r, c = int(r), int(c)
+            key = (max(r, c), min(r, c))
+            cells.setdefault(key, []).append((int(j), round(float(v), 9)))
+            vr = round(float(v), 9)
+            touch.setdefault(r, []).append((int(j), vr, r == c, c))
+            if r != c:
+                touch.setdefault(c, []).append((int(j), vr, False, r))
+        for (r, c), ent in cells.items():
+            diag = r == c
+            for (ja, va) in ent:
+                for (jb, vb) in ent:
+                    if ja != jb:
+                        add(ja, jb, ("blk", bsig, diag, va, vb, len(ent)))
+        for i, ent in touch.items():
+            deg = len(ent)
+            for (ja, va, da, oa) in ent:
+                for (jb, vb, db, ob) in ent:
+                    if ja != jb:
+                        add(ja, jb, ("blkidx", bsig, va, vb, da, db,
+                                     oa == ob, deg))
+    R = np.zeros((m, m), dtype=np.int64)
+    for (j, k), items in acc.items():
+        R[j, k] = hash(tuple(sorted(items)))
+    return R
+
+
+def _permuted(prob: MISDP, sigma: np.ndarray) -> MISDP:
+    """Rename variable j to sigma[j] everywhere (rows/blocks keep their
+    positional layout; `_equivalent` quotients those out)."""
+    inv = np.empty_like(sigma)
+    inv[sigma] = np.arange(sigma.shape[0])
+    lp = prob.lp
+    newlp = LinearConstraints(lp.nrows, lp.beg.copy(), sigma[lp.ind],
+                              lp.val.copy(), lp.lhs.copy(), lp.rhs.copy())
+    newblocks = [dataclasses.replace(b, var=sigma[b.var])
+                 for b in prob.blocks]
+    return dataclasses.replace(
+        prob,
+        obj=prob.obj[inv], lb=prob.lb[inv], ub=prob.ub[inv],
+        integral=prob.integral[inv], blocks=newblocks, lp=newlp,
+    )
+
+
+@dataclasses.dataclass
+class SymmetryGroup:
+    """Verified formulation-symmetry generators and their orbits."""
+
+    nvars: int
+    generators: List[np.ndarray]      # each: sigma with sigma[j] = image
+    orbits: List[List[int]]           # orbits of size >= 2
+    complete: bool                    # False if the search budget ran out
+
+    @property
+    def nontrivial(self) -> bool:
+        return bool(self.generators)
+
+
+class _Budget(Exception):
+    pass
+
+
+def _search_automorphism(colors, R, cells_of, a, b, budget, verify):
+    """Backtracking: find sigma with sigma[a] = b, consistent with vertex
+    colors and pairwise signatures, passing the exact ``verify`` check at
+    the leaf (a failed leaf BACKTRACKS — the invariants are necessary, not
+    sufficient).  Returns sigma or None; raises _Budget when the node
+    budget is exhausted.  budget is a 1-element list (shared across
+    calls)."""
+    m = colors.shape[0]
+    # assignment order: a first, then most-constrained cells first
+    order = [a] + sorted((j for j in range(m) if j != a),
+                         key=lambda j: (len(cells_of[int(colors[j])]), j))
+    sigma = np.full(m, -1, dtype=np.int64)
+    used = np.zeros(m, dtype=bool)
+
+    def bt(pos):
+        budget[0] -= 1
+        if budget[0] <= 0:
+            raise _Budget()
+        if pos == m:
+            return verify(sigma)
+        j = order[pos]
+        cands = [b] if pos == 0 else cells_of[int(colors[j])]
+        for t in cands:
+            if used[t] or colors[t] != colors[j]:
+                continue
+            ok = True
+            for q in range(pos):
+                k = order[q]
+                if (R[j, k] != R[t, sigma[k]]
+                        or R[k, j] != R[sigma[k], t]):
+                    ok = False
+                    break
+            if not ok:
+                continue
+            sigma[j] = t
+            used[t] = True
+            if bt(pos + 1):
+                return True
+            used[t] = False
+            sigma[j] = -1
+        return False
+
+    if bt(0):
+        return sigma.copy()
+    return None
+
+
+def automorphism_group(prob: MISDP, max_vars: int = 160,
+                       budget: int = 200_000) -> SymmetryGroup:
+    """Compute verified generators + orbits of the variable-permutation
+    symmetry group (the reference's bliss call, SYMsdpcomputesymmetry).
+
+    Every returned generator is exact (`_equivalent`-verified); a budget
+    exhaustion only loses symmetries (complete=False), never invents one."""
+    m = prob.nvars
+    if prob.indicators or m > max_vars:
+        return SymmetryGroup(m, [], [], False)
+    colors = _var_signatures(prob)
+    cells_of: dict = {}
+    for j in range(m):
+        cells_of.setdefault(int(colors[j]), []).append(j)
+    if all(len(c) == 1 for c in cells_of.values()):
+        return SymmetryGroup(m, [], [], True)
+    R = _pair_signatures(prob, colors)
+
+    parent = list(range(m))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+
+    gens: List[np.ndarray] = []
+    nbudget = [budget]
+    complete = True
+
+    def verify(sigma):
+        # exact check: a found generator is always a true symmetry
+        return _equivalent(_permuted(prob, sigma), prob)
+
+    try:
+        for cell in cells_of.values():
+            if len(cell) < 2:
+                continue
+            a = cell[0]
+            for b in cell[1:]:
+                if find(a) == find(b):
+                    continue
+                sigma = _search_automorphism(colors, R, cells_of, a, b,
+                                             nbudget, verify)
+                if sigma is None:
+                    continue
+                gens.append(sigma)
+                for j in range(m):
+                    if sigma[j] != j:
+                        union(j, int(sigma[j]))
+    except _Budget:
+        complete = False
+
+    groups: dict = {}
+    for j in range(m):
+        groups.setdefault(find(j), []).append(j)
+    orbits = [sorted(g) for g in groups.values() if len(g) >= 2]
+    orbits.sort()
+    return SymmetryGroup(m, gens, orbits, complete)
+
+
+def orbits_of(generators: List[np.ndarray], m: int,
+              active: Optional[np.ndarray] = None) -> np.ndarray:
+    """Orbit id per variable under the subgroup generated by `generators`
+    (restricted to generators that pointwise fix the non-`active` set when
+    `active` is given... callers pre-filter; here plain union-find)."""
+    parent = np.arange(m)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for g in generators:
+        for j in range(m):
+            t = int(g[j])
+            if t != j:
+                rj, rt = find(j), find(t)
+                if rj != rt:
+                    parent[rj] = rt
+    return np.array([find(j) for j in range(m)])
+
+
+def orbital_fixing(group: SymmetryGroup, lb: np.ndarray, ub: np.ndarray,
+                   integral: np.ndarray, eps: float = 1e-6):
+    """Orbital fixing at a B&B node (prop_sdpsymmetry.c role; Margot-style
+    rule as in SCIP's performOrbitalFixing):
+
+    * let ones = binary variables locally fixed to 1; take the subgroup
+      generated by the generators that fix every such variable POINTWISE
+      (a subgroup of the setwise stabilizer — safe);
+    * in each orbit of that subgroup, if any member is fixed to 0, every
+      member may be fixed to 0 (a symmetric image of any surviving
+      solution realizes the fixing).
+
+    Returns (new_ub, nfixed); lb is never changed (1-fixed variables are
+    singletons in the stabilizer, so no orbit can force a 1)."""
+    if not group.nontrivial:
+        return ub, 0
+    m = group.nvars
+    binary = integral & (lb >= -eps) & (ub <= 1.0 + eps)
+    ones = binary & (lb >= 1.0 - eps)
+    zeros = binary & (ub <= eps)
+    if not zeros.any():
+        return ub, 0
+    stab = [g for g in group.generators if np.all(g[ones] == np.where(ones)[0])]
+    if not stab:
+        return ub, 0
+    orb = orbits_of(stab, m)
+    new_ub = ub.copy()
+    nfixed = 0
+    for oid in np.unique(orb[zeros]):
+        members = (orb == oid) & binary & ~zeros & ~ones
+        k = int(members.sum())
+        if k:
+            new_ub[members] = np.minimum(new_ub[members], 0.0)
+            nfixed += k
+    return new_ub, nfixed

@@ -218,8 +218,13 @@ class Settings:
     # (relax_sdp.c:5428, param-change callback :5302-5373)
     solve_sdps: int = 1
     # symmetry handling (reference: compute_symmetry_bliss.cpp +
-    # prop_sdpsymmetry; opt-in here, see core/symmetry.py)
+    # prop_sdpsymmetry; opt-in here, see core/symmetry.py).
+    # mode "lexrows": static lexicographic ordering rows per orbit at
+    # presolve; "orbital": full automorphism-group computation at the root
+    # plus orbital fixing at every B&B node (prop_sdpsymmetry.c role) —
+    # the two must not be combined on the same orbits, so the mode picks one
     use_symmetry: bool = False
+    symmetry_mode: str = "lexrows"   # "lexrows" | "orbital"
     # multi-chip: shard node batches ("nodes") and SDP blocks ("blocks")
     # over all visible devices (parallel/mesh.py; the TPU replacement for
     # the reference's concurrent-solver portfolio at scale)

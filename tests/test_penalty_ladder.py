@@ -50,7 +50,7 @@ class ScriptedRuns:
         self.m = iface.m
 
     def __call__(self, b, lb, ub, cuts=None, warm_y=None, warm_mask=None,
-                 f32=False, gaptol=None):
+                 f32=False, gaptol=None, warm_X=None):
         B = b.shape[0]
         self.calls.append((float(b[0, self.m]),
                            None if gaptol is None else float(

@@ -53,6 +53,10 @@ def main(argv=None) -> int:
     ap.add_argument("-q", "--quiet", action="store_true")
     ap.add_argument("--write", metavar="OUT",
                     help="write the problem to OUT (.dat-s or .cbf)")
+    ap.add_argument("--write-transformed", metavar="OUT",
+                    help="presolve, then write the TRANSFORMED problem to "
+                         "OUT incl. generated linear constraint classes "
+                         "(reference changelog.txt:6-11 CBF-writer parity)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -96,6 +100,12 @@ def main(argv=None) -> int:
     if args.settings:
         from scipsdp_tpu.utils.paramfile import load_settings_file
         settings = load_settings_file(args.settings, settings)
+    if args.write_transformed:
+        from scipsdp_tpu.core.presolve_sdp import presolve_problem
+        from scipsdp_tpu.models.writers import write_problem
+        write_problem(presolve_problem(prob, settings),
+                      args.write_transformed, transformed=True)
+        print(f"wrote transformed problem to {args.write_transformed}")
     if args.slater:
         from scipsdp_tpu.core.probing import slater_check, slater_check_primal
         from scipsdp_tpu.core.sdpi import SDPInterface

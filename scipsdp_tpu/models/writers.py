@@ -21,6 +21,43 @@ import numpy as np
 from scipsdp_tpu.models.problem import INF, MISDP
 
 
+def transformed_for_write(prob: MISDP) -> MISDP:
+    """Fold propagation-only generated rows (diagzeroimpl / 2-minor /
+    varbound classes, core/presolve_sdp.py) into the LP section so the
+    TRANSFORMED problem can be written.
+
+    Reference parity: SCIP-SDP's CBF writer learned to emit the transformed
+    problem's knapsack/logicor/setppc/varbound constraint classes as linear
+    constraints (changelog.txt:6-11) — our presolve represents all of those
+    as generated LinearConstraints rows, merged here."""
+    import dataclasses
+
+    if prob.proprows is None or prob.proprows.nrows == 0:
+        return prob
+    pr = prob.proprows
+    rows = []
+    for i in range(pr.nrows):
+        s, e = pr.beg[i], pr.beg[i + 1]
+        rows.append((pr.ind[s:e].tolist(), pr.val[s:e].tolist(),
+                     float(pr.lhs[i]), float(pr.rhs[i])))
+    from scipsdp_tpu.core.presolve_sdp import _append_rows
+    return dataclasses.replace(prob, lp=_append_rows(prob.lp, rows),
+                               proprows=None)
+
+
+def write_problem(prob: MISDP, path: str, transformed: bool = False) -> None:
+    """Write in the format implied by the extension (.dat-s / .cbf / .cip);
+    transformed=True folds generated propagation rows in first."""
+    if transformed:
+        prob = transformed_for_write(prob)
+    if path.endswith(".cbf"):
+        write_cbf(prob, path)
+    elif path.endswith(".cip"):
+        write_cip(prob, path)
+    else:
+        write_sdpa(prob, path)
+
+
 def write_sdpa(prob: MISDP, path: str) -> None:
     """Write the extended sparse SDPA format (sdpa_format.txt)."""
     # assemble LP rows in >=-form: original rows (lhs then rhs sides would
@@ -212,7 +249,10 @@ def write_cbf(prob: MISDP, path: str) -> None:
     if prob.indicators:
         raise ValueError("indicator constraints cannot be written to CBF")
 
-    lines = ["VER", "1", "", "OBJSENSE", "MIN", ""]
+    # user-facing objective: user = objsense * internal + objoffset; emit
+    # the user's sense so write->read round-trips the original problem
+    maximize = getattr(prob, "objsense", 1.0) < 0
+    lines = ["VER", "1", "", "OBJSENSE", "MAX" if maximize else "MIN", ""]
     lines += ["VAR", f"{prob.nvars} 1", f"F {prob.nvars}", ""]
 
     ints = [j for j in range(prob.nvars) if prob.integral[j]]
@@ -257,10 +297,14 @@ def write_cbf(prob: MISDP, path: str) -> None:
             lines += ["PSDCONRANK1", str(len(r1))] + [str(k) for k in r1]
             lines.append("")
 
-    objc = [(j, v) for j, v in enumerate(prob.obj) if v != 0.0]
+    sense = -1.0 if maximize else 1.0
+    objc = [(j, sense * v) for j, v in enumerate(prob.obj) if v != 0.0]
     lines += ["OBJACOORD", str(len(objc))]
     lines += [f"{j} {float(v)!r}" for j, v in objc]
     lines.append("")
+    objoffset = float(getattr(prob, "objoffset", 0.0))
+    if objoffset != 0.0:
+        lines += ["OBJBCOORD", repr(objoffset), ""]
 
     acoord = []
     bcoord = []

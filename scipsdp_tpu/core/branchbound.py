@@ -71,6 +71,9 @@ class BBStats:
     ndonated: int = 0         # nodes donated to other hosts (multi-host)
     orbital_fixings: int = 0  # 0-fixings from symmetry orbits
     #                           (prop_sdpsymmetry.c role)
+    slater_holds: int = 0     # per-node dual Slater accounting
+    slater_fails: int = 0     # (table_slater.c role; slatercheck knob)
+    slater_undecided: int = 0
     wall_time: float = 0.0
     solve_time: float = 0.0   # device relaxation-solve time (sdpiclock role)
 
@@ -91,10 +94,10 @@ class BBResult:
 
 class _Node:
     __slots__ = ("lb", "ub", "bound", "depth", "cuts", "requeues", "ysol",
-                 "xsol", "wsrows")
+                 "xsol", "wsrows", "tier")
 
     def __init__(self, lb, ub, bound, depth, cuts=(), requeues=0, ysol=None,
-                 xsol=None, wsrows=-1):
+                 xsol=None, wsrows=-1, tier=None):
         self.lb = lb
         self.ub = ub
         self.bound = bound
@@ -109,6 +112,9 @@ class _Node:
         #                           warmstart info is invalidated when the
         #                           row structure changed
         #                           (cons_savesdpsol.c:57 nlpcons)
+        self.tier = tier          # inherited (Gamma, gaptol) penalty tier
+        #                           (cons_savedsdpsettings role,
+        #                           relax_sdp.c:4085-4120)
 
 
 def _apply_indicator_propagation(prob: MISDP, lb: np.ndarray, ub: np.ndarray):
@@ -476,8 +482,16 @@ class _Solver:
                             wX[t][i] = node.xsol[t]
             if wmask.any():
                 warm = (wy, wmask, wX)
+        # per-node settings inheritance (cons_savedsdpsettings): pass the
+        # parents' successful penalty tiers so the ladder skips re-climbing
+        tier = None
+        if any(n.tier is not None for n in batch):
+            tier = np.full((lb.shape[0], 2), np.nan)
+            for i, n in enumerate(batch):
+                if n.tier is not None:
+                    tier[i] = n.tier
         res = self.iface.solve_batch(lb, ub, cuts=cuts, rounding_seed=seed,
-                                     warm=warm)
+                                     warm=warm, tier=tier)
         self.stats.relax_solves += 1
         self.stats.ipm_iterations += res.iters
         self.stats.solver_calls += res.nsolves
@@ -662,7 +676,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
     from scipsdp_tpu.core import turbo as _turbo
     if (_turbo.eligible(prob, sol.dense, settings, sol.lp_mode)
             and not settings.use_mesh and checkpoint is None and not resume
-            and sync_hook is None and sym_group is None):
+            and sync_hook is None and sym_group is None
+            and bb.slatercheck == 0):
         tres = _turbo.solve_turbo(
             sol.dense, prob, dataclasses.replace(settings, bb=bb),
             root_lb, root_ub, incumbent_val, incumbent_y,
@@ -706,7 +721,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
     def _push_node(node: _Node, prio: float) -> None:
         frontier.push(node.lb, node.ub, prio, node.depth,
                       side=(node.bound, node.cuts, node.requeues,
-                            node.ysol, node.xsol, node.wsrows))
+                            node.ysol, node.xsol, node.wsrows, node.tier))
 
     # native slab-allocated node pool (SCIP-core tree-management role;
     # scipsdp_tpu/native/frontier.cpp), Python-heap fallback
@@ -810,10 +825,11 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                     cap - len(batch)):
                 nbound, ncuts, nreq, nysol, nxsol = side[:5]
                 nws = side[5] if len(side) > 5 else -1
+                ntier = side[6] if len(side) > 6 else None
                 if nbound >= incumbent_val - prune_slack:
                     continue   # late bound pruning
                 batch.append(_Node(nlb, nub, nbound, ndepth, ncuts, nreq,
-                                   nysol, nxsol, nws))
+                                   nysol, nxsol, nws, ntier))
         if not batch:
             if sync_hook is not None:
                 continue
@@ -885,6 +901,18 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             else:
                 lb[i] = 1.0   # dummy slot: bound conflict, presolved away
                 ub[i] = 0.0
+
+        # per-node Slater accounting (checkSlaterCondition, sdpi.c:1518;
+        # table_slater.c summary) — one extra batched probe dispatch
+        if bb.slatercheck > 0 and not sol.lp_mode:
+            from scipsdp_tpu.core.probing import slater_check
+            sl = slater_check(sol.full_iface, lb[: len(batch)],
+                              ub[: len(batch)])
+            stats.slater_holds += int((sl == 1).sum())
+            stats.slater_fails += int((sl == 0).sum())
+            stats.slater_undecided += int((sl == -1).sum())
+            if bb.slatercheck >= 2:
+                print(f"node slater: {sl.tolist()}")
 
         res = sol.solve_relaxations(batch, B, lb, ub)
         stats.nodes += len(batch)
@@ -1133,9 +1161,11 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                 # candidates 2..: perturbed re-solves that
                                 # land on an extreme point of the optimal
                                 # face (vertices are rank-1 when the face
-                                # contains rank-1 points); first the
-                                # eigen-directed perturbation, then random
-                                # directions (deterministic seed)
+                                # contains rank-1 points); the eigen-
+                                # directed perturbation plus random
+                                # directions (deterministic seed), solved
+                                # as ONE batched dispatch — the serial B=1
+                                # ladder was the rank-1 throughput killer
                                 oscale = max(1.0, np.abs(obj).max())
                                 dirs = [r1.eigen_perturbation(sol.dense, y)]
                                 rng = np.random.default_rng(
@@ -1144,42 +1174,54 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                     rd = rng.standard_normal(m)
                                     rd[integral] = 0.0
                                     dirs.append(rd)
+                                dirs = [p / max(1.0, np.abs(p).max())
+                                        for p in dirs]
+                                P = len(dirs)
+                                objs = np.stack(
+                                    [obj - 1e-2 * oscale * p for p in dirs])
+                                rp = sol.full_iface.solve_batch(
+                                    np.tile(node.lb, (P, 1)),
+                                    np.tile(node.ub, (P, 1)), obj=objs)
                                 found_dir = None
-                                for pert in dirs:
-                                    pn = max(1.0, np.abs(pert).max())
-                                    rp = sol.full_iface.solve_batch(
-                                        node.lb[None, :], node.ub[None, :],
-                                        obj=(obj - 1e-2 * oscale
-                                             * pert / pn)[None, :])
-                                    if rp.status[0] != int(
+                                for di, pert in enumerate(dirs):
+                                    if rp.status[di] != int(
                                             SolverResultStatus.OPTIMAL):
                                         continue
                                     if try_candidate(r1.rank1_project(
-                                            sol.dense, rp.y[0])) or \
+                                            sol.dense, rp.y[di])) or \
                                        try_candidate(r1.rank1_complete(
-                                            sol.dense, rp.y[0], obj,
+                                            sol.dense, rp.y[di], obj,
                                             viol_fn=lambda yv: sol.violation(
                                                 yv, node.lb, node.ub))):
-                                        found_dir = pert / pn
+                                        found_dir = pert
                                         break
                                 if found_dir is not None and not node_done:
                                     # polish: shrink the perturbation to
                                     # reduce the O(eps) objective distortion
-                                    for eps in (1e-3, 1e-4):
-                                        rp = sol.full_iface.solve_batch(
-                                            node.lb[None, :],
-                                            node.ub[None, :],
-                                            obj=(obj - eps * oscale
-                                                 * found_dir)[None, :])
-                                        if rp.status[0] != int(
+                                    # (both eps levels in one dispatch,
+                                    # padded to the P-shape executable)
+                                    epss = (1e-3, 1e-4)
+                                    objs2 = np.stack(
+                                        [obj - e * oscale * found_dir
+                                         for e in epss]
+                                        + [obj] * (P - len(epss)))
+                                    lbp = np.tile(node.lb, (P, 1))
+                                    ubp = np.tile(node.ub, (P, 1))
+                                    lbp[len(epss):] = 1.0  # dummy slots:
+                                    ubp[len(epss):] = 0.0  # presolved away
+                                    rp2 = sol.full_iface.solve_batch(
+                                        lbp, ubp, obj=objs2)
+                                    for ke in range(len(epss)):
+                                        if rp2.status[ke] != int(
                                                 SolverResultStatus.OPTIMAL):
                                             break
                                         ok_polish = (
                                             try_candidate(r1.rank1_project(
-                                                sol.dense, rp.y[0]))
+                                                sol.dense, rp2.y[ke]))
                                             or try_candidate(
                                                 r1.rank1_complete(
-                                                    sol.dense, rp.y[0], obj,
+                                                    sol.dense, rp2.y[ke],
+                                                    obj,
                                                     viol_fn=lambda yv:
                                                     sol.violation(
                                                         yv, node.lb,
@@ -1287,6 +1329,12 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                             else -float(node.depth + 1))
                     want_x = (bb.warmstartprimal
                               or bb.warmstartproject == 4)
+                    # children inherit the tier that solved THIS node
+                    # (cons_savedsdpsettings, relax_sdp.c:4194-4203)
+                    ctier = None
+                    if (res.tier is not None
+                            and np.isfinite(res.tier[i]).any()):
+                        ctier = res.tier[i].copy()
                     _push_node(
                         _Node(clb, cub, bound, node.depth + 1, ccuts,
                               ysol=(y.copy() if y is not None
@@ -1294,7 +1342,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                               xsol=(sol.node_X_buckets(res, i)
                                     if bb.warmstart and want_x
                                     and y is not None else None),
-                              wsrows=sol.last_q),
+                              wsrows=sol.last_q,
+                              tier=ctier),
                         prio)
 
         if (checkpoint is not None

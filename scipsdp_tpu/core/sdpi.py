@@ -88,6 +88,10 @@ class BatchSolveResult:
     round_y: Optional[np.ndarray] = None     # (B, m) best rounded points
     round_feas: Optional[np.ndarray] = None  # (B,) feasibility flags
     round_val: Optional[np.ndarray] = None   # (B,) objective values
+    # per-instance solver-settings tier that decided the instance via the
+    # penalty ladder: (B, 2) [Gamma, gaptol], NaN rows for direct solves
+    # (cons_savedsdpsettings role: children inherit the parent's tier)
+    tier: Optional[np.ndarray] = None
 
 
 class SDPInterface:
@@ -318,7 +322,8 @@ class SDPInterface:
                     obj: Optional[np.ndarray] = None,
                     cuts=None, rounding_seed: Optional[int] = None,
                     warm=None,
-                    time_limit: Optional[float] = None) -> BatchSolveResult:
+                    time_limit: Optional[float] = None,
+                    tier: Optional[np.ndarray] = None) -> BatchSolveResult:
         """Solve B node relaxations; lb/ub: (B, m) bounds per node.
 
         ``cuts``: optional (Gcut (B,q,m), hcut (B,q), valid (B,q)) per-node
@@ -330,6 +335,12 @@ class SDPInterface:
         exhausted, remaining recovery-ladder rungs are skipped and still-
         undecided instances get status TIMELIMIT (SCIPsdpiIsTimelimExc
         analog, sdpi.c:3653-4110).
+
+        ``tier``: optional (B, 2) per-instance [Gamma, gaptol] inherited
+        from the parent node's successful penalty solve
+        (cons_savedsdpsettings, relax_sdp.c:4085-4120): when the direct
+        solve fails, the penalty ladder STARTS at the inherited tier
+        instead of re-climbing from the bottom.  NaN rows = no inheritance.
         """
         import time as _time
         t_start = _time.time()
@@ -404,6 +415,7 @@ class SDPInterface:
         direct_iters = int(out.iters)
         nsolves = 1
         npenalty = 0
+        out_tier = np.full((B, 2), np.nan)
 
         failed = np.isin(status, _UNSOLVED_CODES)
         if failed.any() and not out_of_time():
@@ -448,6 +460,15 @@ class SDPInterface:
             # solve was just not accurate enough, so tighten gaptol.
             gamma = np.full(B, ipms.penaltyparam)
             gtol = np.full(B, ipms.gaptol)
+            if tier is not None:
+                # settings inheritance: start at the parent's tier
+                tg = np.asarray(tier[:, 0], dtype=np.float64)
+                tt = np.asarray(tier[:, 1], dtype=np.float64)
+                okg = np.isfinite(tg)
+                gamma[okg] = np.clip(tg[okg], ipms.penaltyparam,
+                                     ipms.maxpenaltyparam)
+                okt = np.isfinite(tt)
+                gtol[okt] = np.clip(tt[okt], ipms.min_gaptol, ipms.gaptol)
             if ipms.npenaltyincr > 0:
                 pfact = (ipms.maxpenaltyparam / ipms.penaltyparam) ** (
                     1.0 / ipms.npenaltyincr)
@@ -480,6 +501,8 @@ class SDPInterface:
                 feasorig = active & kconv & (kr <= feastol)
                 if feasorig.any():
                     npenalty += int(feasorig.sum())
+                    out_tier[feasorig, 0] = gamma[feasorig]
+                    out_tier[feasorig, 1] = gtol[feasorig]
                     status[feasorig] = int(SolverResultStatus.OPTIMAL)
                     ky = np.asarray(outk.y)
                     objval[feasorig] = (
@@ -569,6 +592,7 @@ class SDPInterface:
             nsolves=nsolves,
             npenalty=npenalty,
             nunsolved=nunsolved,
+            tier=out_tier,
             round_y=round_y,
             round_feas=round_feas,
             round_val=round_val,

@@ -216,3 +216,36 @@ def test_iterlimit_status_surfaces():
     res = iface.solve_batch(np.array([[0.0]]), np.array([[2.0]]))
     assert res.status[0] == SolverResultStatus.OPTIMAL
     assert len(sr.calls) == 3
+
+
+def test_tier_inheritance_starts_ladder_high():
+    """cons_savedsdpsettings analog: an inherited (Gamma, gaptol) tier must
+    make the ladder START at the parent's Gamma instead of the bottom, and
+    the result must record the tier that decided the instance."""
+    iface, s = _make_iface()
+    fact = (1000.0 / 10.0) ** 0.5
+    inherited_gamma = 10.0 * fact
+    script = [
+        (F, 0.0, 0.0, 0.0),            # rung 1 direct
+        (OPT, 0.0, 0.0, 0.0),          # rung 2 probe: no infeasibility
+        (OPT, 1e-9, 0.0, 5.0),         # rung 3: feasorig at inherited tier
+    ]
+    sr = ScriptedRuns(iface, script)
+    iface._run = sr
+    tier = np.array([[inherited_gamma, np.nan]])
+    res = iface.solve_batch(np.array([[0.0]]), np.array([[2.0]]),
+                            tier=tier)
+    # first penalty call already at the inherited Gamma
+    assert sr.calls[2][0] == pytest.approx(inherited_gamma)
+    assert res.status[0] == SolverResultStatus.OPTIMAL
+    # the decided instance records its tier for the children
+    assert res.tier is not None
+    assert res.tier[0, 0] == pytest.approx(inherited_gamma)
+
+
+def test_no_tier_recorded_for_direct_solves():
+    iface, s = _make_iface()
+    sr = ScriptedRuns(iface, [(OPT, 0.0, 0.0, 3.0)])
+    iface._run = sr
+    res = iface.solve_batch(np.array([[0.0]]), np.array([[2.0]]))
+    assert res.tier is not None and not np.isfinite(res.tier[0]).any()

@@ -50,17 +50,72 @@ def find_instance(name):
     return None
 
 
+def run_families(args):
+    """Perf tier: generated CLS/MkP/TT at several sizes (models/families
+    mirrors the reference's example families); records nodes/s per size.
+
+    There are no published optima for generated instances; each solve must
+    report OPTIMAL with zero gap, and the incumbent is re-verified by the
+    independent feasibility checker inside solve_misdp."""
+    import json
+
+    from scipsdp_tpu.core.branchbound import solve_misdp
+    from scipsdp_tpu.models import families
+    from scipsdp_tpu.utils.config import BBSettings, Settings
+    from scipsdp_tpu.utils.status import SolveStatus
+
+    cases = [
+        ("CLS", lambda s: families.cardinality_least_squares(
+            nfeatures=s, nsamples=2 * s, seed=1), (6, 8, 10, 12)),
+        ("MkP", lambda s: families.min_k_partition(
+            nvertices=s, k=3, density=0.6, seed=1), (6, 7, 8)),
+        ("TT", lambda s: families.truss_topology(
+            nbars=s, nloads=2, seed=1), (4, 6, 8)),
+    ]
+    settings = Settings(bb=BBSettings(time_limit=args.time_limit,
+                                      batch_size=8))
+    print(f"{'family':<8} {'size':>5} {'nvars':>6} {'nodes':>7} "
+          f"{'time':>8} {'nodes/s':>9}  status")
+    rows = []
+    nfail = 0
+    for fam, gen, sizes in cases:
+        for s in sizes:
+            prob = gen(s)
+            t0 = time.time()
+            res = solve_misdp(prob, settings)
+            dt = time.time() - t0
+            ok = res.status == SolveStatus.OPTIMAL
+            nps = res.stats.nodes / max(dt, 1e-9)
+            print(f"{fam:<8} {s:>5} {prob.nvars:>6} {res.stats.nodes:>7} "
+                  f"{dt:>7.1f}s {nps:>9.2f}  "
+                  f"{res.status.name}{'' if ok else ' FAIL'}")
+            rows.append({"family": fam, "size": s, "nvars": prob.nvars,
+                         "nodes": res.stats.nodes, "time_s": round(dt, 2),
+                         "nodes_per_s": round(nps, 2),
+                         "status": res.status.name})
+            if not ok:
+                nfail += 1
+    print(json.dumps(rows))
+    return 1 if nfail else 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--testset", default="short")
     ap.add_argument("--lp-approx", action="store_true")
     ap.add_argument("--time-limit", type=float, default=1800.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--families", action="store_true",
+                    help="perf tier: generated CLS/MkP/TT at several "
+                         "sizes; prints a nodes/s scaling table")
     args = ap.parse_args()
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if args.families:
+        return run_families(args)
 
     from scipsdp_tpu.core.branchbound import solve_misdp
     from scipsdp_tpu.models.io import read_problem

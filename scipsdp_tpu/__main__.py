@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     ap.add_argument("--slater", action="store_true",
                     help="report the root Slater condition diagnosis "
                          "(table_slater analog)")
+    ap.add_argument("--slatercheck", type=int, default=0,
+                    help="per-node dual Slater accounting: 0 off, "
+                         "1 statistics, 2 statistics + per-batch print "
+                         "(sdpi.c slatercheck)")
     ap.add_argument("--settings", metavar="FILE",
                     help="SCIP-style .set parameter file "
                          "(reference settings/*.set work)")
@@ -93,7 +97,8 @@ def main(argv=None) -> int:
                       branching_rule=args.branching,
                       warmstart=args.warmstart,
                       heuristic_innerlp=args.innerlp,
-                      diving_freq=args.diving_freq),
+                      diving_freq=args.diving_freq,
+                      slatercheck=args.slatercheck),
         solve_sdps=0 if args.lp_approx else 1,
         use_mesh=args.mesh,
     )

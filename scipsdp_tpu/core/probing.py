@@ -143,8 +143,6 @@ def slater_check(iface: SDPInterface, lb: np.ndarray, ub: np.ndarray
     or infeasible), -1 = undecided (sdpi.c:1518)."""
     B = lb.shape[0]
     m = iface.m
-    bprobe = np.zeros((B, m))
-    res = iface.solve_batch(lb, ub, obj=bprobe)
     # feasibility probe with free r: reuse the ladder by solving
     # min r with r in [-BIG, +inf): emulate by shifting bounds
     lbx = iface._extend(lb, -1e6)

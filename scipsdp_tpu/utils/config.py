@@ -166,6 +166,11 @@ class BBSettings:
     turbo: str = "auto"
     turbo_capacity: int = 2048     # frontier slab slots (device HBM)
     turbo_rounds: int = 8          # B&B rounds fused per device dispatch
+    slatercheck: int = 0           # per-node dual Slater accounting
+                                   # (sdpi.c:197 slatercheck: 0 off,
+                                   # 1 statistics, 2 statistics + print);
+                                   # summarized table_slater-style in the
+                                   # statistics output
 
 
 @dataclasses.dataclass(frozen=True)

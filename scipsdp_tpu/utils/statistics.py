@@ -30,8 +30,26 @@ def format_relax_statistics(stats, iface=None) -> str:
     row("redcost bound tightenings", stats.redcost_tightenings)
     if getattr(stats, "roundingprobinf", 0):
         row("rounding-problem cutoffs", stats.roundingprobinf)
+    if getattr(stats, "nnogoods", 0):
+        row("learned no-good rows", stats.nnogoods)
+    if getattr(stats, "orbital_fixings", 0):
+        row("orbital fixings (symmetry)", stats.orbital_fixings)
+    if getattr(stats, "nstolen", 0) or getattr(stats, "ndonated", 0):
+        row("multi-host: nodes stolen", stats.nstolen)
+        row("multi-host: nodes donated", stats.ndonated)
     row("relaxation solve time (s)", f"{stats.solve_time:.2f}")
     row("wall time (s)", f"{stats.wall_time:.2f}")
+    # table_slater.c analog: per-node dual Slater condition breakdown
+    nsl = (getattr(stats, "slater_holds", 0)
+           + getattr(stats, "slater_fails", 0)
+           + getattr(stats, "slater_undecided", 0))
+    if nsl:
+        lines.append("Slater condition (dual, per node):")
+        row("holds", f"{stats.slater_holds} ({stats.slater_holds/nsl:.0%})")
+        row("fails (boundary/infeasible)",
+            f"{stats.slater_fails} ({stats.slater_fails/nsl:.0%})")
+        row("undecided",
+            f"{stats.slater_undecided} ({stats.slater_undecided/nsl:.0%})")
     if iface is not None:
         row("interface: total solves", iface.stat_nsolves)
         row("interface: feasibility probes", iface.stat_nprobes)

@@ -76,10 +76,34 @@ def _schur_product(Wall: jnp.ndarray, settings: IPMSettings) -> jnp.ndarray:
     ``settings.use_pallas`` a hand-written Pallas TPU kernel
     (ops/pallas_kernels.py) computes the same product with explicit tiling.
     """
-    if settings.use_pallas:
+    if settings.use_pallas and _pallas_ok():
         from scipsdp_tpu.ops.pallas_kernels import schur_wwt
         return schur_wwt(Wall)
     return jnp.einsum("xif,xjf->xij", Wall, Wall)
+
+
+def _pallas_ok() -> bool:
+    """Mosaic kernels only lower on the TPU backend (trace-time check)."""
+    return jax.default_backend() == "tpu"
+
+
+def _chol(A: jnp.ndarray, settings: IPMSettings) -> jnp.ndarray:
+    """Batched lower Cholesky; with ``use_pallas`` the f32 instances run
+    the hand-written one-hot column kernel (f64 stays on XLA — Mosaic has
+    no f64).  NaN semantics match potrf (the PSD probes rely on it)."""
+    if settings.use_pallas and A.dtype == jnp.float32 and _pallas_ok():
+        from scipsdp_tpu.ops.pallas_kernels import cholesky
+        return cholesky(A)
+    return jnp.linalg.cholesky(A)
+
+
+def _tril_inv(L: jnp.ndarray, settings: IPMSettings) -> jnp.ndarray:
+    """Batched lower-triangular inverse (identity-RHS forward solves)."""
+    if settings.use_pallas and L.dtype == jnp.float32 and _pallas_ok():
+        from scipsdp_tpu.ops.pallas_kernels import tril_inverse
+        return tril_inverse(L)
+    eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
+    return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -649,9 +673,8 @@ def ipm_solve(
         def chol_inv(t):
             Kt = X[t].shape[1]
             both = jnp.concatenate([X[t], S[t]], axis=1)   # (B, 2K, n, n)
-            L = jnp.linalg.cholesky(both)
-            eyeb = jnp.broadcast_to(eyed[t], L.shape)
-            Linv = jax.scipy.linalg.solve_triangular(L, eyeb, lower=True)
+            L = _chol(both, settings)
+            Linv = _tril_inv(L, settings)
             return (L[:, :Kt], L[:, Kt:], Linv[:, :Kt], Linv[:, Kt:])
 
         LXS = bmap(chol_inv)
@@ -688,9 +711,8 @@ def ipm_solve(
             settings.chol_reg, 1e-9)
         reg = chol_reg * (1.0 + jnp.max(jnp.abs(M), axis=(1, 2)))
         M = M + reg[:, None, None] * eye_mp[None]
-        Lm = jnp.linalg.cholesky(M)
-        Lminv = jax.scipy.linalg.solve_triangular(
-            Lm, jnp.broadcast_to(eye_mp, Lm.shape), lower=True)
+        Lm = _chol(M, settings)
+        Lminv = _tril_inv(Lm, settings)
         Minv = jnp.einsum("xba,xbc->xac", Lminv, Lminv)    # Lm^{-T} Lm^{-1}
 
         def direction(Rc, rcl, rclb, rcub):

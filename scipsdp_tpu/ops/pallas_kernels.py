@@ -10,12 +10,13 @@ Grid: (B, mp/TI, mp/TJ); each program accumulates one (TI, TJ) output tile
 over F chunks.  Shapes are padded to tile multiples by the wrapper (zero
 padding contributes nothing to the Gram product).
 
-Note: the production default stays on the XLA batched matmul
-(`IPMSettings.use_pallas = False`): a plain Gram product is already
-MXU-shape-optimal under XLA, and this environment's Mosaic toolchain
-rejects kernels traced under jax_enable_x64 (i64 index legalization),
-which the f64 IPM requires.  The kernel is exercised in interpret mode by
-tests/test_pallas.py and is ready for f32 / fixed-toolchain deployments.
+Deployment note: Mosaic rejects kernels TRACED under jax_enable_x64 (i64
+index legalization), which the f64 IPM enables globally.  The fix is to
+trace the kernel inside a ``jax.enable_x64(False)`` scope — kernels here
+do that, so the f32 kernels compile and run on real TPU hardware from
+inside the x64 program (exercised by the phase32 mixed-precision IPM
+path with ``IPMSettings.use_pallas = True``).  f64 inputs fall back to
+the XLA batched matmul (Mosaic has no f64).
 """
 
 from __future__ import annotations
@@ -41,28 +42,126 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _gram_kernel(wi_ref, wj_ref, out_ref):
-    """One (TILE, TILE) tile of W W^T, accumulating over F chunks."""
-    nf = wi_ref.shape[-1]
-    acc = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+    """One (TILE, TILE) output tile of W W^T; the F axis is a GRID
+    dimension (innermost), so only one (TILE, FCHUNK) slab per operand is
+    VMEM-resident at a time — full-F row blocks OOM the 16 MB VMEM at
+    production F.  The output tile is revisited across F steps and
+    accumulated in place."""
+    c = pl.program_id(3)
 
-    def chunk(c, acc):
-        a = wi_ref[0, :, pl.ds(c * FCHUNK, FCHUNK)]
-        b = wj_ref[0, :, pl.ds(c * FCHUNK, FCHUNK)]
-        return acc + jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=out_ref.dtype,
-        )
+    @pl.when(c == 0)
+    def _():
+        out_ref[0, :, :] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
 
-    if nf % FCHUNK == 0 and nf > FCHUNK:
-        acc = jax.lax.fori_loop(0, nf // FCHUNK, chunk, acc)
+    out_ref[0, :, :] += jax.lax.dot_general(
+        wi_ref[0, :, :], wj_ref[0, :, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=out_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _chol_kernel(n_live: int, a_ref, o_ref):
+    """Left-looking Cholesky of one (n, n) tile; only the leading
+    ``n_live`` columns are factored (the rest is lane padding).
+
+    Column j is produced with NO dynamic lane indexing: one-hot selectors
+    turn row/column reads and the column write into matvecs/outer products
+    (VPU/MXU-friendly; 3 n^2 work per column).  Non-PSD input yields NaN
+    exactly like LAPACK potrf — the IPM uses Cholesky NaNs as its PSD
+    probe, so the semantics must match jnp.linalg.cholesky."""
+    A = a_ref[0]
+    n = A.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # (n, 1)
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=A.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def body(j, L):
+        oh = (iota == j).astype(A.dtype)             # e_j as (n, 1)
+        ljrow = mm(oh.T, L)                          # (1, n) = L[j, :]
+        s = mm(L, ljrow.T)                           # (n, 1) partial sums
+        c = mm(A, oh) - s                            # A[:, j] - s  (A sym)
+        d = jnp.sqrt(jnp.sum(c * oh))                # sqrt(c[j]); NaN if <0
+        below = (iota > j).astype(A.dtype)
+        colvals = d * oh + below * c / d             # (n, 1)
+        return L + mm(colvals, oh.T)                 # write column j
+
+    o_ref[0] = jax.lax.fori_loop(0, n_live, body, jnp.zeros_like(A))
+
+
+def _trinv_kernel(n_live: int, l_ref, o_ref):
+    """Forward substitution  X = L^{-1}  of one (n, n) lower tile, same
+    one-hot technique (row i of X per iteration), ``n_live`` live rows."""
+    L = l_ref[0]
+    n = L.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # (n, 1)
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=L.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def body(i, X):
+        oh = (iota == i).astype(L.dtype)             # e_i as (n, 1)
+        li = mm(oh.T, L)                             # (1, n) = L[i, :]
+        strict = li * (iota.T < i).astype(L.dtype)   # (1, n) = L[i, :i]
+        contrib = mm(strict, X)                      # (1, n)
+        dinv = 1.0 / jnp.sum(li * oh.T)              # 1 / L[i, i]
+        xi = (oh.T - contrib) * dinv                 # (1, n) row i of X
+        return X + mm(oh, xi)
+
+    o_ref[0] = jax.lax.fori_loop(0, n_live, body, jnp.zeros_like(L))
+
+
+def _tile_call(kernel, A: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """Run a per-instance (n, n) tile kernel over a stacked (N, n, n)
+    batch, padding n to the f32 tile minimum with an identity tail (inert
+    for both Cholesky and triangular inversion)."""
+    N, n, _ = A.shape
+    n_p = _round_up(max(n, 8), 128)
+    if n_p != n:
+        Ap = jnp.zeros((N, n_p, n_p), A.dtype)
+        Ap = Ap.at[:, :n, :n].set(A)
+        pad = jnp.arange(n, n_p)
+        Ap = Ap.at[:, pad, pad].set(1.0)
     else:
-        a = wi_ref[0, :, :]
-        b = wj_ref[0, :, :]
-        acc = acc + jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=out_ref.dtype,
-        )
-    out_ref[0, :, :] = acc
+        Ap = A
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(kernel, n),   # loop only the live columns
+            grid=(N,),
+            in_specs=[pl.BlockSpec((1, n_p, n_p), lambda b: (b, 0, 0))],
+            out_specs=pl.BlockSpec((1, n_p, n_p), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((N, n_p, n_p), A.dtype),
+            interpret=interpret,
+        )(Ap)
+    return out[:, :n, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cholesky(A: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Batched lower Cholesky, Pallas path for f32 (any leading batch
+    shape); f64 falls back to XLA."""
+    if A.dtype == jnp.float64:
+        return jnp.linalg.cholesky(A)
+    lead = A.shape[:-2]
+    n = A.shape[-1]
+    L = _tile_call(_chol_kernel, A.reshape((-1, n, n)), interpret)
+    return L.reshape(lead + (n, n))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tril_inverse(L: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Batched lower-triangular inverse (the W-feature step's triangular
+    solves with identity RHS), Pallas path for f32; f64 falls back to
+    XLA's solve_triangular."""
+    if L.dtype == jnp.float64:
+        eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
+        return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    lead = L.shape[:-2]
+    n = L.shape[-1]
+    X = _tile_call(_trinv_kernel, L.reshape((-1, n, n)), interpret)
+    return X.reshape(lead + (n, n))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -71,22 +170,35 @@ def schur_wwt(Wall: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 
     Wall: (B, mp, F); returns (B, mp, mp).  Pads mp to the 128 MXU tile and
     F to the lane width; zero padding is inert in the Gram product.
+
+    f64 inputs (Mosaic has no f64) use the XLA batched matmul instead, so
+    the call is always safe regardless of the IPM's precision phase.
     """
+    if Wall.dtype == jnp.float64:
+        return jnp.einsum("bif,bjf->bij", Wall, Wall)
     B, mp, F = Wall.shape
     mp_p = _round_up(max(mp, 8), TILE)
-    F_p = _round_up(max(F, 128), 128)
+    fchunk = min(FCHUNK, _round_up(max(F, 128), 128))
+    F_p = _round_up(max(F, 128), fchunk)
     W = jnp.zeros((B, mp_p, F_p), Wall.dtype).at[:, :mp, :F].set(Wall)
 
-    grid = (B, mp_p // TILE, mp_p // TILE)
-    out = pl.pallas_call(
-        _gram_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, TILE, F_p), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, TILE, F_p), lambda b, i, j: (b, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, TILE, TILE), lambda b, i, j: (b, i, j)),
-        out_shape=jax.ShapeDtypeStruct((B, mp_p, mp_p), Wall.dtype),
-        interpret=interpret,
-    )(W, W)
+    # F innermost so each output tile sees its F steps consecutively
+    grid = (B, mp_p // TILE, mp_p // TILE, F_p // fchunk)
+    # trace in x32 scope: Mosaic rejects i64 grid/index arithmetic, which
+    # jax_enable_x64 (required by the f64 IPM) would otherwise introduce
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _gram_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, TILE, fchunk),
+                             lambda b, i, j, c: (b, i, c)),
+                pl.BlockSpec((1, TILE, fchunk),
+                             lambda b, i, j, c: (b, j, c)),
+            ],
+            out_specs=pl.BlockSpec((1, TILE, TILE),
+                                   lambda b, i, j, c: (b, i, j)),
+            out_shape=jax.ShapeDtypeStruct((B, mp_p, mp_p), Wall.dtype),
+            interpret=interpret,
+        )(W, W)
     return out[:, :mp, :mp]

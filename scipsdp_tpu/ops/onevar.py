@@ -21,23 +21,118 @@ with a simpler method suited to batching.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
 from scipsdp_tpu.models.problem import INF
 
+# matrices at or above this order use the Lanczos extreme-eigenvalue path
+# (arpack_interface.c:237 role: SCIP-SDP calls ARPACK's dsaupd for the
+# smallest eigenpair of large one-var matrices instead of full dsyevr)
+LANCZOS_SWITCH = 180
+
+
+def lam_min_lanczos(M: np.ndarray, iters: int = 120,
+                    seed: int = 7) -> Tuple[float, np.ndarray]:
+    """Smallest eigenpair of a symmetric matrix by Lanczos with full
+    reorthogonalization (the ARPACK dsaupd role, arpack_interface.c:237).
+
+    Krylov dimension min(iters, n); the Ritz pair from the tridiagonal
+    projection converges to the extreme eigenpair geometrically — ample
+    at the feastol accuracies the one-var solver targets."""
+    n = M.shape[0]
+    k = min(iters, n)
+    rng = np.random.default_rng(seed)
+    V = np.empty((k, n))
+    alpha = np.empty(k)
+    beta = np.empty(k)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    V[0] = v
+    w = M @ v
+    alpha[0] = v @ w
+    w -= alpha[0] * v
+    used = 1
+    for j in range(1, k):
+        b = np.linalg.norm(w)
+        if b < 1e-13:
+            break
+        v = w / b
+        # full reorthogonalization keeps the basis numerically orthogonal
+        v -= V[:j].T @ (V[:j] @ v)
+        nv = np.linalg.norm(v)
+        if nv < 1e-13:
+            break
+        v /= nv
+        V[j] = v
+        w = M @ v
+        alpha[j] = v @ w
+        beta[j - 1] = b
+        w -= alpha[j] * v + b * V[j - 1]
+        used = j + 1
+    T = (np.diag(alpha[:used])
+         + np.diag(beta[:used - 1], 1) + np.diag(beta[:used - 1], -1))
+    evals, evecs = np.linalg.eigh(T)
+    lam = float(evals[0])
+    vec = V[:used].T @ evecs[:, 0]
+    vec /= np.linalg.norm(vec)
+    return lam, vec
+
+
+def _lam_min_vec(y: float, A: np.ndarray,
+                 C: np.ndarray) -> Tuple[float, np.ndarray]:
+    M = y * A - C
+    if M.shape[0] >= LANCZOS_SWITCH:
+        return lam_min_lanczos(M)
+    evals, evecs = np.linalg.eigh(M)
+    return float(evals[0]), evecs[:, 0]
+
 
 def _lam_min(y: float, A: np.ndarray, C: np.ndarray) -> float:
-    return float(np.linalg.eigvalsh(y * A - C)[0])
+    M = y * A - C
+    if M.shape[0] >= LANCZOS_SWITCH:
+        return lam_min_lanczos(M)[0]
+    return float(np.linalg.eigvalsh(M)[0])
+
+
+class OneVarCertificate(NamedTuple):
+    """Optimality/infeasibility certificate of the one-var solver
+    (solveonevarsdp.c:127,156 returns the active eigenvector and uses the
+    supergradient of lambda_min in its semismooth Newton).
+
+    * ``eigvec``: minimal eigenvector v of  y* A - C  at the returned y*
+      (infeasible: at the concave maximizer) — v^T (y A - C) v >= 0 is the
+      supporting linear inequality in y certifying the interval boundary;
+    * ``supergrad``: v^T A v, a supergradient of  y -> lambda_min(yA - C)
+      at y* (exact gradient when the eigenvalue is simple);
+    * ``lam``: lambda_min at y*.
+    """
+
+    eigvec: np.ndarray
+    supergrad: float
+    lam: float
 
 
 def solve_one_var_sdp(A: np.ndarray, C: np.ndarray, c: float,
                       lb: float, ub: float, feastol: float = 1e-6,
-                      tol: float = 1e-9) -> Tuple[str, float]:
+                      tol: float = 1e-9, with_certificate: bool = False):
     """Return (status, y*) with status in {"optimal", "infeasible",
     "unbounded"}.  A, C: (n, n) symmetric; minimize c*y over the feasible
-    interval intersected with [lb, ub]."""
+    interval intersected with [lb, ub].
+
+    ``with_certificate=True`` returns (status, y*, OneVarCertificate):
+    the active eigenvector + supergradient (solveonevarsdp.c:127,156)."""
+
+    cert_at = [0.0]   # certificate evaluation point for non-finite y
+
+    def ret(status, y):
+        if not with_certificate:
+            return status, y
+        yc = float(y) if np.isfinite(y) else cert_at[0]
+        lam, v = _lam_min_vec(yc, A, C)
+        return status, y, OneVarCertificate(v, float(v @ A @ v), lam)
+
     lo = max(lb, -1e12)
     hi = min(ub, 1e12)
     f_lo = _lam_min(lo, A, C)
@@ -56,7 +151,8 @@ def solve_one_var_sdp(A: np.ndarray, C: np.ndarray, c: float,
             if b - a < tol * max(1.0, abs(a)):
                 break
         if _lam_min(0.5 * (a + b), A, C) < -feastol:
-            return "infeasible", np.nan
+            cert_at[0] = 0.5 * (a + b)   # maximizer: lam_min < 0 everywhere
+            return ret("infeasible", np.nan)
         peak = 0.5 * (a + b)
     else:
         peak = lo if f_lo >= -feastol else hi
@@ -89,8 +185,9 @@ def solve_one_var_sdp(A: np.ndarray, C: np.ndarray, c: float,
         y = right
     else:
         y = peak
+    cert_at[0] = float(peak)
     if c < 0 and ub >= INF and f_hi >= -feastol:
-        return "unbounded", -np.inf
+        return ret("unbounded", -np.inf)
     if c > 0 and lb <= -INF and f_lo >= -feastol:
-        return "unbounded", -np.inf
-    return "optimal", float(y)
+        return ret("unbounded", -np.inf)
+    return ret("optimal", float(y))

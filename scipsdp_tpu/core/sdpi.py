@@ -94,6 +94,9 @@ class BatchSolveResult:
     tier: Optional[np.ndarray] = None
 
 
+_FUSED_JIT_CACHE: dict = {}
+
+
 class SDPInterface:
     """Batched SDP relaxation solver for one problem's data.
 
@@ -121,7 +124,22 @@ class SDPInterface:
             np.asarray(indicator_pairs, dtype=np.int32).reshape(-1, 2)
             if indicator_pairs is not None and len(indicator_pairs)
             else np.zeros((0, 2), np.int32))
-        self._fused = jax.jit(self._fused_impl)
+        # the jitted executable is shared MODULE-WIDE across interfaces
+        # whose trace would be identical (the only self-reads inside
+        # _fused_impl are captured by this key; problem data is a traced
+        # argument).  Without this, every fresh SDPInterface re-compiles —
+        # the warmstartproject=4 rounding problems build one per node
+        # (solvePrimalRoundingProblem role) and were paying a full XLA
+        # compile each.
+        fkey = (self.settings.ipm, self.settings.bb.feastol, self.m,
+                self.dense.integral.tobytes(),
+                self._indicator_pairs.tobytes(),
+                None if mesh is None else id(mesh))
+        fn = _FUSED_JIT_CACHE.get(fkey)
+        if fn is None:
+            fn = jax.jit(self._fused_impl)
+            _FUSED_JIT_CACHE[fkey] = fn
+        self._fused = fn
         # multi-chip: shard the problem image over the "blocks" axis and
         # every per-node array over the "nodes" axis; XLA propagates the
         # shardings through the fused executable and inserts the psum /

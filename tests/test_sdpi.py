@@ -248,3 +248,30 @@ def test_root_relaxations_of_instances(instances_dir):
         assert res.status[0] == SolverResultStatus.OPTIMAL, name
         if opt is not None:
             assert res.objval[0] <= opt + 1e-5, name
+
+
+def test_fused_executable_shared_across_interfaces():
+    """Interfaces with identical trace signatures must share ONE jitted
+    executable (the warmstartproject=4 rounding problems create one
+    interface per node and must not re-compile)."""
+    import numpy as np
+
+    from scipsdp_tpu.core.sdpi import SDPInterface
+    from scipsdp_tpu.models.problem import INF, LinearConstraints, MISDP, densify
+
+    def lp(name, c0):
+        return MISDP(
+            nvars=2, obj=np.array([c0, 1.0]),
+            lb=np.zeros(2), ub=np.ones(2),
+            integral=np.zeros(2, bool), blocks=[],
+            lp=LinearConstraints.from_rows([([0, 1], [1.0, 1.0], 1.0, INF)]),
+            name=name,
+        )
+
+    a = SDPInterface(densify(lp("a", 1.0)))
+    b = SDPInterface(densify(lp("b", 2.0)))   # different DATA, same trace
+    assert a._fused is b._fused
+    ra = a.solve_batch(np.zeros((1, 2)), np.ones((1, 2)))
+    rb = b.solve_batch(np.zeros((1, 2)), np.ones((1, 2)))
+    assert abs(ra.objval[0] - 1.0) < 1e-4     # min y0+y1 st sum >= 1
+    assert abs(rb.objval[0] - 1.0) < 1e-4     # min 2y0+y1 -> y1=1

@@ -48,7 +48,9 @@ from scipsdp_tpu.utils.config import Settings
 from scipsdp_tpu.utils.status import SolveStatus, SolverResultStatus
 
 _DEBUG_RANK1 = bool(os.environ.get("SCIPSDP_DEBUG_RANK1"))
-CUT_CHUNK = 16          # cut-buffer capacity granularity (bounds recompiles)
+CUT_CHUNK = 16          # cut-buffer capacity granularity (bounds recompiles;
+#                         32 measured WORSE on multaggr3: padded rows cost
+#                         more than the one saved compile)
 MAX_POOL = 512          # global eigenvector cut pool cap (LP mode)
 MAX_SEP_ROUNDS = 8      # separation rounds per node batch (LP mode)
 

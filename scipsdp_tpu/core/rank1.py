@@ -178,6 +178,7 @@ def rank1_complete(dense: DenseSDPData, y: np.ndarray, obj: np.ndarray,
         Amat = A[covering].reshape(covering.size, -1).T
         nfree = min(nk - 1, max_enum)
         cands = []
+        signs = []
         for bits in range(1 << nfree):
             s = np.ones(nk)
             for t in range(nfree):
@@ -187,20 +188,44 @@ def rank1_complete(dense: DenseSDPData, y: np.ndarray, obj: np.ndarray,
             M1 = np.outer(u, u)
             dy, *_ = np.linalg.lstsq(Amat, (M1 - M).reshape(-1), rcond=None)
             cands.append(dy)
-        block_cands.append((covering, cands))
+            signs.append(s)
+        block_cands.append((covering, cands, k, Amat, signs))
 
     if not block_cands:
         return yhat
 
     # initialize every block with its objective-best pattern
     choice = []
-    for covering, cands in block_cands:
+    for covering, cands, _k, _Am, _sg in block_cands:
         vals = [float(obj[covering] @ dy) for dy in cands]
         choice.append(int(np.argmin(vals)))
+
     def assemble(ch):
         out = y.copy()
-        for (covering, cands), c in zip(block_cands, ch):
+        for (covering, cands, _k, _Am, _sg), c in zip(block_cands, ch):
             out[covering] = y[covering] + cands[c]
+        return out
+
+    def refine(ych, ch, iters=8):
+        """Least-squares polish (fixed point): re-complete each block at
+        the CURRENT point until the completion residual stops moving —
+        the one-shot lstsq at the relaxation point carries an O(feastol)
+        residual that shows up as 1e-5-level incumbent error."""
+        out = ych.copy()
+        for _ in range(iters):
+            moved = 0.0
+            for (covering, cands, k, Amat, signs), c in zip(block_cands,
+                                                            ch):
+                M = block_value(dense, k, out)
+                d = np.sqrt(np.maximum(np.diag(M), 0.0))
+                u = signs[c] * d
+                dy, *_ = np.linalg.lstsq(
+                    Amat, (np.outer(u, u) - M).reshape(-1), rcond=None)
+                out[covering] += dy
+                if dy.size:
+                    moved = max(moved, float(np.abs(dy).max()))
+            if moved < 1e-13:
+                break
         return out
 
     if viol_fn is not None:
@@ -210,7 +235,8 @@ def rank1_complete(dense: DenseSDPData, y: np.ndarray, obj: np.ndarray,
         cur = score(assemble(choice))
         for _ in range(sweeps):
             improved = False
-            for bi, (covering, cands) in enumerate(block_cands):
+            for bi, (covering, cands, _k, _Am, _sg) in enumerate(
+                    block_cands):
                 best_c, best_s = choice[bi], cur
                 for c in range(len(cands)):
                     if c == choice[bi]:
@@ -226,7 +252,10 @@ def rank1_complete(dense: DenseSDPData, y: np.ndarray, obj: np.ndarray,
                     improved = True
             if not improved:
                 break
-    return assemble(choice)
+        out = assemble(choice)
+        polished = refine(out, choice)
+        return polished if score(polished) <= score(out) else out
+    return refine(assemble(choice), choice)
 
 
 def eigen_perturbation(dense: DenseSDPData, y: np.ndarray) -> np.ndarray:

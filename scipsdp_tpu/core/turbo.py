@@ -79,7 +79,6 @@ def eligible(prob: MISDP, dense: DenseSDPData, settings: Settings,
     bb = settings.bb
     return (
         not lp_mode
-        and not prob.indicators
         and not prob.liftinfo
         and not bool(np.any(dense.rank1))
         and bool(np.any(prob.integral))   # pure-continuous = 1 root solve;
@@ -105,13 +104,19 @@ def _branch_scores(y, frac, obj, rule):
     return inf_score * jnp.maximum(jnp.abs(obj), 1e-6)[None, :]
 
 
-def make_round(settings: Settings, integral: np.ndarray, B: int):
+def make_round(settings: Settings, integral: np.ndarray, B: int,
+               ind_pairs: Optional[np.ndarray] = None):
     """Build the single-round function over (IPMData, TurboState).
 
     The problem data is a TRACED argument (not a closure): the jitted
     chunk is cached module-wide by (batch, settings, integrality, data
     shapes), so repeated solves — and every warm-up — reuse one compiled
-    executable."""
+    executable.
+
+    ``ind_pairs``: (K, 2) [binvar, slackvar] indicator links; vectorized
+    propagation (binvar fixed 1 => slack <= 0), candidate/leaf indicator
+    feasibility, and enforcement branching on a violated binvar (the
+    cons_indicator roles)."""
     bb = settings.bb
     feastol = bb.feastol
     m = int(integral.shape[0])
@@ -119,6 +124,19 @@ def make_round(settings: Settings, integral: np.ndarray, B: int):
     integral_d = jnp.asarray(integral)
     warm_on = bool(bb.warmstart)
     ipms = settings.ipm
+    nind = 0 if ind_pairs is None else int(ind_pairs.shape[0])
+    if nind:
+        ibv = jnp.asarray(ind_pairs[:, 0])
+        isv = jnp.asarray(ind_pairs[:, 1])
+
+    def ind_violated(yc, lo=None, hi=None):
+        """(B, K) indicator violations of candidate points; with lo/hi
+        given, only links whose binvar is still UNFIXED count (fixed
+        binvars are handled by propagation)."""
+        v = (yc[:, ibv] >= 0.5) & (yc[:, isv] > feastol)
+        if lo is not None:
+            v = v & ((hi[:, ibv] - lo[:, ibv]) > feastol)
+        return v
 
     def psd_feasible(data, yc):
         """Batched feasibility of points: Z(y) + feastol*I PSD (Cholesky
@@ -158,6 +176,13 @@ def make_round(settings: Settings, integral: np.ndarray, B: int):
 
         lb = jnp.where(sel_live[:, None], st.flb[idx], 1.0)
         ub = jnp.where(sel_live[:, None], st.fub[idx], 0.0)
+        if nind:
+            # indicator propagation (binvar fixed 1 => slack <= 0) at
+            # selection time, so stored child boxes stay plain
+            on = lb[:, ibv] >= 0.5
+            cur = ub[:, isv]
+            ub = ub.at[:, isv].set(
+                jnp.where(on, jnp.minimum(cur, 0.0), cur))
         par_bound = jnp.where(sel_live, st.fbound[idx], jnp.inf)
         warm_y = jnp.concatenate(
             [st.fwarm[idx], jnp.zeros((B, 1), st.fwarm.dtype)], axis=1)
@@ -206,6 +231,12 @@ def make_round(settings: Settings, integral: np.ndarray, B: int):
         frac = jnp.where(integral_d[None, :],
                          jnp.abs(y - jnp.round(y)), 0.0)
         is_leaf_sol = solved & (jnp.max(frac, axis=1) <= feastol)
+        if nind:
+            # an integral solution violating an indicator is NOT a leaf:
+            # it must be enforced by branching on the violated binvar
+            iv = ind_violated(y, lb, ub)
+            has_iv = jnp.any(iv, axis=1)
+            is_leaf_sol = is_leaf_sol & ~has_iv
 
         # fused rounding heuristics (heur_sdpfracround / heur_sdprand)
         yr0 = jnp.where(integral_d[None, :], jnp.round(y), y)
@@ -221,6 +252,8 @@ def make_round(settings: Settings, integral: np.ndarray, B: int):
                              jnp.abs(yc - jnp.round(yc)), 0.0)
             feas = (psd_feasible(data, yc) & solved & ~is_leaf_sol
                     & (jnp.max(fr_c, axis=1) <= feastol))
+            if nind:
+                feas = feas & ~jnp.any(ind_violated(yc), axis=1)
             val = yc @ obj
             cands.append((feas, val, yc))
         # exact leaves: relaxation solution is integral -> value = bound
@@ -252,6 +285,19 @@ def make_round(settings: Settings, integral: np.ndarray, B: int):
         unfixed = integral_d[None, :] & (ub - lb > feastol)
         j_unf = jnp.argmax(unfixed, axis=1)
         has_unf = jnp.any(unfixed, axis=1)
+        if nind:
+            # indicator enforcement: branch on the (unfixed) binvar of the
+            # most violated link — children binvar<=0 / binvar>=1, the
+            # latter forcing slack<=0 through selection-time propagation.
+            # Priority: fractional branching first (reference enforces
+            # indicators at integral solutions); y is only valid when
+            # the relaxation solved
+            iv_br = iv & solved[:, None]
+            has_iv_br = jnp.any(iv_br, axis=1)
+            j_iv = ibv[jnp.argmax(jnp.where(iv_br, y[:, isv], -jnp.inf),
+                                  axis=1)]
+            j_unf = jnp.where(has_iv_br, j_iv, j_unf)
+            has_unf = has_unf | has_iv_br
         use_frac = solved & has_frac
         j = jnp.where(use_frac, j_frac, j_unf)
         # a non-leaf node that cannot be branched (unsolved relaxation and
@@ -352,7 +398,7 @@ _CHUNK_CACHE: dict = {}
 
 
 def _chunk_for(settings: Settings, integral: np.ndarray, B: int,
-               data: IPMData):
+               data: IPMData, ind_pairs: Optional[np.ndarray] = None):
     """Jitted chunk executable, cached module-wide.  The key is content-
     independent (data is a traced argument): batch width, solver settings,
     integrality pattern, and the data's array signature — so every
@@ -363,10 +409,11 @@ def _chunk_for(settings: Settings, integral: np.ndarray, B: int,
                 for a in jax.tree_util.tree_leaves(data))
     # limits are traced / host-side, not part of the graph
     bb_key = _dc.replace(settings.bb, node_limit=0, time_limit=0.0)
-    key = (B, settings.ipm, bb_key, integral.tobytes(), sig)
+    ind_key = None if ind_pairs is None else ind_pairs.tobytes()
+    key = (B, settings.ipm, bb_key, integral.tobytes(), sig, ind_key)
     fn = _CHUNK_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(make_round(settings, integral, B),
+        fn = jax.jit(make_round(settings, integral, B, ind_pairs),
                      static_argnames=("k",))
         _CHUNK_CACHE[key] = fn
     return fn
@@ -401,7 +448,10 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
     N = max(bb.turbo_capacity, 8 * B)
     if data is None:
         data = build_ipm_data(dense)
-    chunk = _chunk_for(settings, dense.integral, B, data)
+    ind_pairs = (np.asarray([(l.binvar, l.slackvar)
+                             for l in prob.indicators], dtype=np.int32)
+                 if prob.indicators else None)
+    chunk = _chunk_for(settings, dense.integral, B, data, ind_pairs)
 
     has0 = inc_y0 is not None and np.isfinite(inc_val0)
     st = TurboState(

@@ -1337,13 +1337,23 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                     if (res.tier is not None
                             and np.isfinite(res.tier[i]).any()):
                         ctier = res.tier[i].copy()
+                    # warmstartpreoptsol: store the captured PRE-optimal
+                    # iterate instead of the optimum (more interior)
+                    ws_y, ws_X = y, None
+                    use_pre = (bb.warmstart and res.pre_has is not None
+                               and bool(res.pre_has[i]))
+                    if use_pre:
+                        ws_y = res.pre_y[i]
+                        if want_x and res.pre_X is not None:
+                            ws_X = [np.asarray(res.pre_X[t][i])
+                                    for t in range(len(res.pre_X))]
+                    elif bb.warmstart and want_x and y is not None:
+                        ws_X = sol.node_X_buckets(res, i)
                     _push_node(
                         _Node(clb, cub, bound, node.depth + 1, ccuts,
-                              ysol=(y.copy() if y is not None
+                              ysol=(ws_y.copy() if ws_y is not None
                                     and bb.warmstart else None),
-                              xsol=(sol.node_X_buckets(res, i)
-                                    if bb.warmstart and want_x
-                                    and y is not None else None),
+                              xsol=ws_X,
                               wsrows=sol.last_q,
                               tier=ctier),
                         prio)

@@ -181,6 +181,64 @@ def two_minor_prod_rows(prob: MISDP) -> List[tuple]:
     return rows
 
 
+def two_minor_soc_quadcons(prob: MISDP, max_blocksize: int = 12):
+    """addTwoMinorSOCConstraints (cons_sdp.c:2786-2807): per off-diagonal
+    2-minor of an SDP block, PSD implies the rotated-SOC relation
+    X_st^2 <= X_ss X_tt.  The reference adds SCIP SOC constraints with
+    auxiliary variables; here the expanded QUADRATIC form
+
+        (g3.y - c3)^2 - (g1.y - c1)(g2.y - c2) <= 0
+
+    (entries as affine forms) becomes a QuadConstraint, which the
+    quadratic->rank-1 upgrade lifts like any user quadratic."""
+    from scipsdp_tpu.models.problem import QuadConstraint
+
+    out = []
+    eps = 1e-12
+    m = prob.nvars
+    for bi, blk in enumerate(prob.blocks):
+        if blk.size > max_blocksize:
+            continue   # quadratic count grows as size^2; cap like the
+        #                reference's presolve timing guards
+        A = blk.dense_coeff(m)
+        C = blk.dense_const()
+        for s in range(blk.size):
+            for t in range(s):
+                g1, c1 = A[:, s, s], C[s, s]
+                g2, c2 = A[:, t, t], C[t, t]
+                g3, c3 = A[:, s, t], C[s, t]
+                if np.abs(g3).max(initial=0.0) <= eps:
+                    continue   # constant off-diagonal: nothing to bound
+                nz = np.nonzero((np.abs(g1) > eps) | (np.abs(g2) > eps)
+                                | (np.abs(g3) > eps))[0]
+                if nz.size == 0:
+                    continue
+                qrow, qcol, qval = [], [], []
+                for a_i, i in enumerate(nz):
+                    for j in nz[: a_i + 1]:
+                        if i == j:
+                            q = g3[i] * g3[i] - g1[i] * g2[i]
+                        else:
+                            q = (2.0 * g3[i] * g3[j]
+                                 - g1[i] * g2[j] - g1[j] * g2[i])
+                        if abs(q) > eps:
+                            qrow.append(int(i))
+                            qcol.append(int(j))
+                            qval.append(float(q))
+                if not qval:
+                    continue
+                lin = -2.0 * c3 * g3 + c2 * g1 + c1 * g2
+                lnz = np.nonzero(np.abs(lin) > eps)[0]
+                out.append(QuadConstraint(
+                    lin_ind=lnz.astype(np.int32), lin_val=lin[lnz],
+                    qrow=np.asarray(qrow, np.int32),
+                    qcol=np.asarray(qcol, np.int32),
+                    qval=np.asarray(qval),
+                    lhs=-INF, rhs=float(c1 * c2 - c3 * c3),
+                    name=f"soc2minor_b{bi}_{s}_{t}"))
+    return out
+
+
 def _entry_interval_max(A_entry: np.ndarray, c0: float,
                         lb: np.ndarray, ub: np.ndarray):
     """Interval maximum of  sum_i a_i y_i - c0  over the box, or +inf."""
@@ -445,6 +503,11 @@ def presolve_problem(prob: MISDP, settings) -> MISDP:
     if pres.fixvars or pres.aggregate:
         prob = fix_and_aggregate(prob, aggregate=pres.aggregate,
                                  feastol=settings.bb.feastol * 1e-3)
+    if pres.twominorsocconss:
+        extra_qc = two_minor_soc_quadcons(prob)
+        if extra_qc:
+            prob = dataclasses.replace(
+                prob, quadcons=list(prob.quadcons) + extra_qc)
     if prob.quadcons:
         # quadratic constraints -> rank-1 SDP lifting (consQuadConsUpgdSdp
         # role; always on here — see core/quadupgrade.py design note)

@@ -92,6 +92,10 @@ class BatchSolveResult:
     # penalty ladder: (B, 2) [Gamma, gaptol], NaN rows for direct solves
     # (cons_savedsdpsettings role: children inherit the parent's tier)
     tier: Optional[np.ndarray] = None
+    # pre-optimal iterate of the direct solve (warmstartpreoptsol)
+    pre_y: Optional[np.ndarray] = None   # (B, m)
+    pre_X: Optional[list] = None         # per-bucket (B, K, n, n)
+    pre_has: Optional[np.ndarray] = None  # (B,)
 
 
 _FUSED_JIT_CACHE: dict = {}
@@ -106,8 +110,18 @@ class SDPInterface:
 
     def __init__(self, dense: DenseSDPData, settings: Optional[Settings] = None,
                  indicator_pairs=None, mesh=None):
+        import dataclasses as _dc
+
         from scipsdp_tpu.utils.config import resolve_backend_autos
         self.settings = resolve_backend_autos(settings or Settings())
+        bb = self.settings.bb
+        if (bb.warmstart and getattr(bb, "warmstartpreoptsol", False)
+                and self.settings.ipm.preopt_gap == 0.0):
+            # pre-optimal warmstart capture (sdpisolver_sdpa.cpp:1612-1618)
+            self.settings = _dc.replace(
+                self.settings,
+                ipm=_dc.replace(self.settings.ipm,
+                                preopt_gap=bb.warmstartpreoptgap))
         self.mesh = mesh
         self.dense = dense
         self.data: IPMData = build_ipm_data(dense)
@@ -423,6 +437,11 @@ class SDPInterface:
                 take = failed32 & ~np.isin(s64, _UNSOLVED_CODES)
                 out = _merge_outputs(out, out64, take)
 
+        pre_y = (None if out.y_pre is None
+                 else np.asarray(out.y_pre)[:, :m])
+        pre_X = (None if out.X_pre is None
+                 else [np.asarray(x) for x in out.X_pre])
+        pre_has = None if out.has_pre is None else np.asarray(out.has_pre)
         status = np.asarray(out.status).copy()
         objval = np.asarray(out.dobj).copy()
         y = np.asarray(out.y)[:, :m].copy()
@@ -611,6 +630,9 @@ class SDPInterface:
             npenalty=npenalty,
             nunsolved=nunsolved,
             tier=out_tier,
+            pre_y=pre_y,
+            pre_X=pre_X,
+            pre_has=pre_has,
             round_y=round_y,
             round_feas=round_feas,
             round_val=round_val,

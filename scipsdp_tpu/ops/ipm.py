@@ -47,7 +47,7 @@ a batched eigenvalue check (checkFixedFeasibilitySdp, sdpi.c:1377).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -338,6 +338,12 @@ class SolveOutput(NamedTuple):
     xl: jnp.ndarray         # (B, P) row primal multipliers (LP ++ cuts)
     xlb: jnp.ndarray        # (B, mp) lower-bound multipliers (dual fixing!)
     xub: jnp.ndarray        # (B, mp) upper-bound multipliers
+    # pre-optimal snapshot (settings.preopt_gap > 0): first iterate whose
+    # relative gap fell below preopt_gap — the more-interior warmstart
+    # point the reference captures (sdpisolver_sdpa.cpp:1612-1618)
+    y_pre: Optional[jnp.ndarray] = None       # (B, mp)
+    X_pre: Optional[Tuple[jnp.ndarray, ...]] = None
+    has_pre: Optional[jnp.ndarray] = None     # (B,) bool
 
 
 def ipm_solve(
@@ -876,8 +882,13 @@ def ipm_solve(
                 up(dxl), up(dsl), up(dxlb), up(dslb), up(dxub), up(dsub),
                 up(ap), up(ad))
 
+    track_pre = settings.preopt_gap > 0.0
+
     def body(carry):
-        st, ev = carry
+        if track_pre:
+            st, ev, pre_c = carry
+        else:
+            st, ev = carry
         if use_phase32:
             # whole-batch precision pick: f32 only while EVERY active
             # instance is still far from convergence (a near-converged
@@ -943,15 +954,35 @@ def ipm_solve(
         stalled = stall_cnt >= 15
         failed2 = new.failed | (stalled & ~new.done & ~conv)
         newly_conv = conv & ~new.done & ~failed2
-        return (new._replace(
+        st_out = new._replace(
             converged=new.converged | newly_conv,
             done=new.done | newly_conv | failed2,
             failed=failed2,
             best_merit=best_merit,
             stall=stall_cnt,
-        ), ev_n)
+        )
+        if not track_pre:
+            return (st_out, ev_n)
+        # pre-optimal snapshot: first iterate below the preopt gap
+        y_pre, X_pre, has_pre = pre_c
+        hit = (~has_pre) & ~new.done & (ev_n.relgap <= settings.preopt_gap)
+        hx = hit[:, None, None, None]
+        return (st_out, ev_n, (
+            jnp.where(hit[:, None], new.y, y_pre),
+            bmap(lambda t: jnp.where(hx, new.X[t], X_pre[t])),
+            has_pre | hit,
+        ))
 
-    st, ev = jax.lax.while_loop(cond, body, (st0, evaluate(st0)))
+    def cond_w(carry):
+        return cond(carry[:2])
+
+    if track_pre:
+        pre0 = (st0.y, st0.X, jnp.zeros((B,), bool))
+        st, ev, pre_fin = jax.lax.while_loop(
+            cond_w, body, (st0, evaluate(st0), pre0))
+    else:
+        st, ev = jax.lax.while_loop(cond_w, body, (st0, evaluate(st0)))
+        pre_fin = None
 
     conv, gap, pinf, dinf = ev.conv, ev.gap, ev.pinf, ev.dinf
     converged = st.converged | (conv & ~pre.conflict & ~pre.allfixed)
@@ -990,4 +1021,8 @@ def ipm_solve(
         xl=st.xl,
         xlb=st.xlb,
         xub=st.xub,
+        y_pre=(None if pre_fin is None
+               else jnp.where(pre.fix, pre.fixval, pre_fin[0])),
+        X_pre=(None if pre_fin is None else pre_fin[1]),
+        has_pre=(None if pre_fin is None else pre_fin[2]),
     )

@@ -80,6 +80,12 @@ class IPMSettings:
                                    # (sdpi.c:1131 loop)
     warmstartipfactor: float = 0.5  # identity share in warmstart convex
                                     # combination (DEFAULT_WARMSTARTIPFACTOR)
+    preopt_gap: float = 0.0        # > 0: snapshot the first iterate whose
+                                   # relative gap drops below this value
+                                   # (the PRE-optimal point SDPA captures
+                                   # for warmstarts, sdpisolver_sdpa.cpp:
+                                   # 1612-1618); 0 = off.  Set through
+                                   # BBSettings.warmstartpreoptsol
     use_pallas: bool = False       # hand-written Pallas TPU kernel for the
                                    # Schur product (else XLA matmul)
     step_rule: str = "auto"        # PSD max-step: "auto" resolves by
@@ -150,6 +156,13 @@ class BBSettings:
                                    # primal start (fillStartX,
                                    # relax_sdp.c:2959-3049)
     warmstartroundonlyinf: bool = False  # DEFAULT_WARMSTARTROUNDONLYINF
+    warmstartpreoptsol: bool = False  # warmstart children from a PRE-
+                                      # optimal iterate instead of the
+                                      # optimum (more interior -> better
+                                      # starts; relax_sdp.c:77-86,
+                                      # sdpisolver_sdpa.cpp:1612-1618)
+    warmstartpreoptgap: float = 1e-2  # relative gap of the captured
+                                      # pre-optimal iterate
     objlimit_pruning: bool = True
     # conflict constraints from relaxation certificates (relax_sdp.c:100-105
     # defaults): globally valid dual-aggregation rows used for propagation
@@ -183,6 +196,11 @@ class PresolveSettings:
     move_1x1_blocks: bool = True    # move_1x1_blocks_to_lp
     diagzeroimplcuts: bool = True   # DEFAULT_DIAGZEROIMPLCUTS
     twominorprodconss: bool = False  # DEFAULT_TWOMINORPRODCONSS
+    twominorsocconss: bool = False   # DEFAULT_TWOMINORSOCCONSS: the SOC
+                                     # form of X_st^2 <= X_ss X_tt per
+                                     # 2-minor (cons_sdp.c:2786-2807),
+                                     # posed here as quadratic constraints
+                                     # that the quad->rank-1 upgrade lifts
     twominorvarbounds: bool = True  # DEFAULT_TWOMINORVARBOUNDS
     tightenmatrices: bool = False   # DEFAULT_TIGHTENMATRICES
     fixvars: bool = True            # eliminate fixed variables from the

@@ -252,3 +252,25 @@ def test_fix_and_aggregate_solve_parity():
     assert r2.best_y.shape == (3,)
     # reconstructed solution satisfies the equality row
     assert abs(r2.best_y[1] + r2.best_y[2] - 4.0) < 1e-5
+
+
+def test_two_minor_soc_quadcons_preserve_optimum():
+    """twominorsocconss (cons_sdp.c:2786-2807): the rotated-SOC 2-minor
+    relations are implied by PSD, so adding them must keep the optimum."""
+    import os
+
+    from scipsdp_tpu.core.branchbound import solve_misdp
+    from scipsdp_tpu.core.presolve_sdp import two_minor_soc_quadcons
+    from scipsdp_tpu.models.io import read_problem
+    from scipsdp_tpu.utils.config import BBSettings, PresolveSettings, Settings
+
+    prob = read_problem("/root/reference/instances/example_small.dat-s")
+    qcs = two_minor_soc_quadcons(prob)
+    assert qcs, "example_small has variable off-diagonal 2-minors"
+    # the quadratic encodes X_st^2 - X_ss X_tt <= 0: at a PSD-feasible
+    # point it must hold
+    res0 = solve_misdp(prob)
+    s = Settings(presolve=PresolveSettings(twominorsocconss=True),
+                 bb=BBSettings(batch_size=4))
+    res1 = solve_misdp(prob, s)
+    assert abs(res0.objval - res1.objval) < 1e-3

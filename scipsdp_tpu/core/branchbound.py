@@ -677,14 +677,15 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
 
     from scipsdp_tpu.core import turbo as _turbo
     if (_turbo.eligible(prob, sol.dense, settings, sol.lp_mode)
-            and not settings.use_mesh and checkpoint is None and not resume
+            and checkpoint is None and not resume
             and sync_hook is None and sym_group is None
             and bb.slatercheck == 0):
         tres = _turbo.solve_turbo(
             sol.dense, prob, dataclasses.replace(settings, bb=bb),
             root_lb, root_ub, incumbent_val, incumbent_y,
-            data=sol.iface.data,
-            rounds_per_dispatch=bb.turbo_rounds)
+            data=(None if sol.mesh is not None else sol.iface.data),
+            rounds_per_dispatch=bb.turbo_rounds,
+            mesh=sol.mesh)
         if tres is not None:
             stats.nodes += tres.nodes
             stats.relax_solves += tres.rounds

@@ -105,7 +105,7 @@ def _branch_scores(y, frac, obj, rule):
 
 
 def make_round(settings: Settings, integral: np.ndarray, B: int,
-               ind_pairs: Optional[np.ndarray] = None):
+               ind_pairs: Optional[np.ndarray] = None, mesh=None):
     """Build the single-round function over (IPMData, TurboState).
 
     The problem data is a TRACED argument (not a closure): the jitted
@@ -128,6 +128,21 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
     if nind:
         ibv = jnp.asarray(ind_pairs[:, 0])
         isv = jnp.asarray(ind_pairs[:, 1])
+
+    if mesh is not None:
+        # multi-chip: the selected node batch shards over the mesh's
+        # "nodes" axis — GSPMD propagates the sharding through the whole
+        # IPM (block data shards over "blocks" via data_sharding); the
+        # frontier slab stays replicated (top_k/scatter are global)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def shard_nodes(a):
+            spec = PartitionSpec(*(("nodes",) + (None,) * (a.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, spec))
+    else:
+        def shard_nodes(a):
+            return a
 
     def ind_violated(yc, lo=None, hi=None):
         """(B, K) indicator violations of candidate points; with lo/hi
@@ -188,12 +203,15 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
             [st.fwarm[idx], jnp.zeros((B, 1), st.fwarm.dtype)], axis=1)
         warm_ok = st.fwok[idx] & sel_live if warm_on else None
 
-        lbx = jnp.concatenate([lb, jnp.zeros((B, 1), lb.dtype)], axis=1)
-        ubx = jnp.concatenate([ub, jnp.zeros((B, 1), ub.dtype)], axis=1)
-        bmat = jnp.broadcast_to(data.b_base[None], (B, mp))
+        lbx = shard_nodes(
+            jnp.concatenate([lb, jnp.zeros((B, 1), lb.dtype)], axis=1))
+        ubx = shard_nodes(
+            jnp.concatenate([ub, jnp.zeros((B, 1), ub.dtype)], axis=1))
+        bmat = shard_nodes(
+            jnp.broadcast_to(data.b_base[None], (B, mp)) + 0.0)
 
         out = ipm_solve(data, bmat, lbx, ubx,
-                        warm_y=warm_y if warm_on else None,
+                        warm_y=shard_nodes(warm_y) if warm_on else None,
                         warm_mask=warm_ok if warm_on else None,
                         settings=ipms)
         status = out.status
@@ -398,7 +416,8 @@ _CHUNK_CACHE: dict = {}
 
 
 def _chunk_for(settings: Settings, integral: np.ndarray, B: int,
-               data: IPMData, ind_pairs: Optional[np.ndarray] = None):
+               data: IPMData, ind_pairs: Optional[np.ndarray] = None,
+               mesh=None):
     """Jitted chunk executable, cached module-wide.  The key is content-
     independent (data is a traced argument): batch width, solver settings,
     integrality pattern, and the data's array signature — so every
@@ -410,10 +429,11 @@ def _chunk_for(settings: Settings, integral: np.ndarray, B: int,
     # limits are traced / host-side, not part of the graph
     bb_key = _dc.replace(settings.bb, node_limit=0, time_limit=0.0)
     ind_key = None if ind_pairs is None else ind_pairs.tobytes()
-    key = (B, settings.ipm, bb_key, integral.tobytes(), sig, ind_key)
+    key = (B, settings.ipm, bb_key, integral.tobytes(), sig, ind_key,
+           None if mesh is None else id(mesh))
     fn = _CHUNK_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(make_round(settings, integral, B, ind_pairs),
+        fn = jax.jit(make_round(settings, integral, B, ind_pairs, mesh),
                      static_argnames=("k",))
         _CHUNK_CACHE[key] = fn
     return fn
@@ -438,6 +458,7 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
                 inc_val0: float, inc_y0: Optional[np.ndarray],
                 data: Optional[IPMData] = None,
                 rounds_per_dispatch: int = 8,
+                mesh=None,
                 ) -> Optional[TurboResult]:
     """Run the device-resident B&B; returns None on fallback conditions."""
     from scipsdp_tpu.utils.config import resolve_backend_autos
@@ -448,10 +469,17 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
     N = max(bb.turbo_capacity, 8 * B)
     if data is None:
         data = build_ipm_data(dense)
+    if mesh is not None:
+        # shard the problem image over "blocks"; the chunk's sharding
+        # constraints shard the node batch over "nodes"
+        from scipsdp_tpu.parallel.mesh import data_sharding
+        data = jax.device_put(data, data_sharding(mesh, data))
+        if B % mesh.shape["nodes"]:
+            mesh = None   # batch not divisible: single-device fallback
     ind_pairs = (np.asarray([(l.binvar, l.slackvar)
                              for l in prob.indicators], dtype=np.int32)
                  if prob.indicators else None)
-    chunk = _chunk_for(settings, dense.integral, B, data, ind_pairs)
+    chunk = _chunk_for(settings, dense.integral, B, data, ind_pairs, mesh)
 
     has0 = inc_y0 is not None and np.isfinite(inc_val0)
     st = TurboState(

@@ -64,3 +64,19 @@ def test_bb_with_mesh_matches_single():
     res = solve_misdp(prob, Settings(use_mesh=True,
                                      bb=BBSettings(batch_size=8)))
     assert abs(res.objval - (-8.0)) < 1e-4
+
+
+def test_turbo_sharded_over_mesh():
+    """Device-resident B&B with the node batch sharded over the mesh's
+    "nodes" axis (multi-chip turbo): same optimum as single-device."""
+    import numpy as np
+
+    from scipsdp_tpu.core.branchbound import solve_misdp
+    from scipsdp_tpu.models.io import read_problem
+    from scipsdp_tpu.utils.config import BBSettings, Settings
+
+    prob = read_problem("/root/reference/instances/example_small.dat-s")
+    res = solve_misdp(prob, Settings(
+        use_mesh=True, bb=BBSettings(batch_size=8)))
+    assert abs(res.objval - (-8.0)) < 1e-4
+    assert res.stats.nodes > 0

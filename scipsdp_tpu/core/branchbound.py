@@ -63,6 +63,8 @@ class BBStats:
     solver_calls: int = 0
     npenalty: int = 0
     nunsolved: int = 0
+    ndirect: int = 0          # fastest-tier (direct rung) decisions
+    #                           (disp_sdpfastsettings role)
     heur_found: int = 0
     ncuts: int = 0
     sep_rounds: int = 0
@@ -498,6 +500,7 @@ class _Solver:
         self.stats.ipm_iterations += res.iters
         self.stats.solver_calls += res.nsolves
         self.stats.npenalty += res.npenalty
+        self.stats.ndirect += res.ndirect
 
         if self.lp_mode:
             # separation loop: add eigenvector cuts until SDP-feasible or
@@ -692,6 +695,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             stats.ipm_iterations += tres.iters
             stats.solver_calls += tres.nsolves
             stats.heur_found += tres.nheur
+            stats.ndirect += tres.ndirect
             stats.nunsolved += tres.nunsolved
             stats.wall_time = time.time() - t0
             stats.solve_time = stats.wall_time
@@ -1370,7 +1374,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             if stats.relax_solves == 1:
                 print(f"{'nodes':>7} {'open':>6} {'incumbent':>14} "
                       f"{'dualbound':>14} {'sdpiter':>8} {'avgiter':>8} "
-                      f"{'pen':>4} {'uns':>4} {'cuts':>5}")
+                      f"{'fast':>5} {'pen':>4} {'uns':>4} {'cuts':>5}")
             fb = (frontier.best_bound() if len(frontier)
                   else incumbent_val)
             avg = stats.ipm_iterations / max(stats.relax_solves, 1)
@@ -1378,6 +1382,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                   f"{prob.external_objval(incumbent_val):>14.6g} "
                   f"{prob.external_objval(fb):>14.6g} "
                   f"{stats.ipm_iterations:>8} {avg:>8.1f} "
+                  f"{stats.ndirect:>5} "
                   f"{stats.npenalty:>4} {stats.nunsolved:>4} "
                   f"{stats.ncuts:>5}")
 

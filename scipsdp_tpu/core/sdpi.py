@@ -84,6 +84,8 @@ class BatchSolveResult:
     nsolves: int          # total batched solver invocations used
     npenalty: int         # instances decided via penalty formulation
     nunsolved: int        # instances with no usable information
+    ndirect: int = 0      # instances decided at the direct rung (the
+    #                       fastest settings tier; disp_sdpfastsettings)
     # fused rounding-heuristic results (when solve_batch got a seed)
     round_y: Optional[np.ndarray] = None     # (B, m) best rounded points
     round_feas: Optional[np.ndarray] = None  # (B,) feasibility flags
@@ -455,6 +457,8 @@ class SDPInterface:
         out_tier = np.full((B, 2), np.nan)
 
         failed = np.isin(status, _UNSOLVED_CODES)
+        live = ~(lb > ub).any(axis=1)    # dummy slots don't count
+        ndirect = int((~failed & live).sum())
         if failed.any() and not out_of_time():
             # rung 2: feasibility probe (Gamma = 1, objective zero)
             self.stat_nprobes += 1
@@ -629,6 +633,7 @@ class SDPInterface:
             nsolves=nsolves,
             npenalty=npenalty,
             nunsolved=nunsolved,
+            ndirect=ndirect,
             tier=out_tier,
             pre_y=pre_y,
             pre_X=pre_X,

@@ -2,10 +2,11 @@
 
 The host-side B&B loop (core/branchbound.py) pays per batch: one device
 dispatch (relay latency), host numpy bookkeeping, and result transfers.
-For the common MISDP shape — integer branching, no rank-1 / indicator /
-bilinear-lift enforcement, no LP outer approximation — the whole tree loop
-vectorizes, so this module keeps the ENTIRE frontier on device and runs K
-B&B rounds per dispatch inside one jitted graph:
+For the common MISDP shape — integer branching (incl. indicator
+constraints), no rank-1 / bilinear-lift enforcement, no LP outer
+approximation — the whole tree loop vectorizes, so this module keeps the
+ENTIRE frontier on device and runs K B&B rounds per dispatch inside one
+jitted graph:
 
     select top-B nodes (lax.top_k on bounds)  ->  batched IPM relaxation
     (ops/ipm.ipm_solve, plus an in-graph feasibility-probe rung)  ->
@@ -67,6 +68,7 @@ class TurboState(NamedTuple):
     iters: jnp.ndarray     # () accumulated IPM iterations
     nsolves: jnp.ndarray   # () solver invocations (incl. probe rungs)
     nheur: jnp.ndarray     # () heuristic incumbents
+    ndirect: jnp.ndarray   # () instances decided at the direct rung
     nunsolved: jnp.ndarray  # () relaxations with no usable information
     npruned_inf: jnp.ndarray  # () nodes cut off as infeasible
     overflow: jnp.ndarray  # () bool: frontier slab ran out of slots
@@ -377,6 +379,7 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
             iters=st.iters + out.iters.astype(jnp.int32),
             nsolves=nsolves,
             nheur=nheur,
+            ndirect=st.ndirect + jnp.sum(solved).astype(jnp.int32),
             nunsolved=st.nunsolved + jnp.sum(unsolved).astype(jnp.int32),
             npruned_inf=st.npruned_inf + jnp.sum(infeas).astype(jnp.int32),
             overflow=overflow,
@@ -448,6 +451,7 @@ class TurboResult(NamedTuple):
     iters: int
     nsolves: int
     nheur: int
+    ndirect: int
     nunsolved: int
     hit_node_limit: bool
     hit_time_limit: bool
@@ -497,6 +501,7 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
         iters=jnp.asarray(0, jnp.int32),
         nsolves=jnp.asarray(0, jnp.int32),
         nheur=jnp.asarray(0, jnp.int32),
+        ndirect=jnp.asarray(0, jnp.int32),
         nunsolved=jnp.asarray(0, jnp.int32),
         npruned_inf=jnp.asarray(0, jnp.int32),
         overflow=jnp.asarray(False),
@@ -534,6 +539,7 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
         iters=int(st.iters),
         nsolves=int(st.nsolves),
         nheur=int(st.nheur),
+        ndirect=int(st.ndirect),
         nunsolved=int(st.nunsolved),
         hit_node_limit=int(st.nodes) >= bb.node_limit,
         hit_time_limit=hit_time,

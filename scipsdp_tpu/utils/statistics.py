@@ -22,6 +22,7 @@ def format_relax_statistics(stats, iface=None) -> str:
     row("IPM iterations (direct solves)", stats.ipm_iterations)
     avg = stats.ipm_iterations / max(stats.relax_solves, 1)
     row("average IPM iterations", f"{avg:.2f}")
+    row("fastest-tier (direct) decisions", getattr(stats, "ndirect", 0))
     row("penalty-formulation decisions", stats.npenalty)
     row("unsolved relaxations", stats.nunsolved)
     row("heuristic solutions found", stats.heur_found)

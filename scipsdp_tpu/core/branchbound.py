@@ -679,10 +679,21 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             sym_group = None
 
     from scipsdp_tpu.core import turbo as _turbo
-    if (_turbo.eligible(prob, sol.dense, settings, sol.lp_mode)
-            and checkpoint is None and not resume
-            and sync_hook is None and sym_group is None
-            and bb.slatercheck == 0):
+    turbo_ok = (_turbo.eligible(prob, sol.dense, settings, sol.lp_mode)
+                and checkpoint is None and not resume
+                and sync_hook is None and sym_group is None
+                and bb.slatercheck == 0)
+    # engagement policy: on accelerators turbo starts immediately (the
+    # environment is dispatch-latency-bound and compiles are cached); on
+    # CPU the big fused-chunk compile only amortizes on large trees, so
+    # the host loop runs first and hands its frontier to turbo once the
+    # tree proves big (measured: MkP 48 nodes turbo 41s vs host 11s on
+    # CPU, while 422-node example_indicator is 2x faster ON turbo)
+    import jax as _jax
+    turbo_now = turbo_ok and (_jax.default_backend() != "cpu"
+                              or bb.turbo == "on")
+    turbo_deferred = turbo_ok and not turbo_now
+    if turbo_now:
         tres = _turbo.solve_turbo(
             sol.dense, prob, dataclasses.replace(settings, bb=bb),
             root_lb, root_ub, incumbent_val, incumbent_y,
@@ -748,6 +759,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
 
     unbounded = False
     hit_limit: Optional[SolveStatus] = None
+    turbo_open_bound = np.inf   # open bound of a limit-hit turbo handoff
     remote_inc = False   # incumbent VALUE adopted from another host (no y)
 
     class _SyncCtx:
@@ -817,6 +829,54 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 continue
         elif hit_limit is not None or not len(frontier):
             break
+
+        # deferred turbo engagement (CPU policy above): once the host loop
+        # proves the tree is large enough to amortize the chunk compile,
+        # ship the WHOLE frontier to the device-resident path
+        if (turbo_deferred and stats.relax_solves >= 3
+                and len(frontier) >= 2 * bb.batch_size):
+            popped = frontier.pop_upto(len(frontier))
+            if any(side[1] for (_, _, _, _, side) in popped):
+                # nodes carry node-local cuts turbo cannot represent
+                for (nlb, nub, nprio, ndepth, side) in popped:
+                    frontier.push(nlb, nub, nprio, ndepth, side=side)
+                turbo_deferred = False
+            else:
+                init_nodes = [(nlb, nub, side[0])
+                              for (nlb, nub, _p, _d, side) in popped]
+                tbb = dataclasses.replace(
+                    bb, node_limit=max(bb.node_limit - stats.nodes, 1),
+                    time_limit=max(bb.time_limit - (time.time() - t0), 1.0))
+                tres = _turbo.solve_turbo(
+                    sol.dense, prob, dataclasses.replace(settings, bb=tbb),
+                    root_lb, root_ub, incumbent_val, incumbent_y,
+                    data=(None if sol.mesh is not None
+                          else sol.iface.data),
+                    rounds_per_dispatch=bb.turbo_rounds,
+                    mesh=sol.mesh, init_nodes=init_nodes)
+                turbo_deferred = False
+                if tres is None:
+                    for (nlb, nub, nprio, ndepth, side) in popped:
+                        frontier.push(nlb, nub, nprio, ndepth, side=side)
+                else:
+                    stats.nodes += tres.nodes
+                    stats.relax_solves += tres.rounds
+                    stats.ipm_iterations += tres.iters
+                    stats.solver_calls += tres.nsolves
+                    stats.heur_found += tres.nheur
+                    stats.ndirect += tres.ndirect
+                    stats.nunsolved += tres.nunsolved
+                    if (tres.inc_y is not None
+                            and tres.inc_val < incumbent_val - 1e-12):
+                        incumbent_val = float(tres.inc_val)
+                        incumbent_y = np.asarray(tres.inc_y)
+                    if tres.hit_node_limit:
+                        hit_limit = SolveStatus.NODE_LIMIT
+                        turbo_open_bound = tres.dual_bound
+                    elif tres.hit_time_limit:
+                        hit_limit = SolveStatus.TIME_LIMIT
+                        turbo_open_bound = tres.dual_bound
+                    continue   # frontier drained: loop exits via the top
 
         # bound pruning slack: rank-1 heuristic incumbents are only
         # ~feastol-accurate, so close the tree at a matching relative gap
@@ -1392,10 +1452,11 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         return BBResult(SolveStatus.UNBOUNDED, None, None,
                         -np.inf * prob.objsense, np.inf, stats)
 
-    dual_bound_internal = incumbent_val
+    dual_bound_internal = min(incumbent_val, turbo_open_bound)
     if len(frontier):
         dual_bound_internal = min(
-            side[0] for (_, _, _, _, side) in frontier.dump())
+            dual_bound_internal,
+            min(side[0] for (_, _, _, _, side) in frontier.dump()))
     if hit_limit is not None:
         status = hit_limit
         objval = (prob.external_objval(incumbent_val)

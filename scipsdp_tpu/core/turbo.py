@@ -463,14 +463,22 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
                 data: Optional[IPMData] = None,
                 rounds_per_dispatch: int = 8,
                 mesh=None,
+                init_nodes=None,
                 ) -> Optional[TurboResult]:
-    """Run the device-resident B&B; returns None on fallback conditions."""
+    """Run the device-resident B&B; returns None on fallback conditions.
+
+    ``init_nodes``: optional list of (lb, ub, bound) open nodes to seed
+    the frontier with INSTEAD of the root box — the deferred-engagement
+    handoff from the host loop (the host proves the tree is large enough
+    to amortize the chunk compile, then ships its whole frontier here)."""
     from scipsdp_tpu.utils.config import resolve_backend_autos
     settings = resolve_backend_autos(settings)
     bb = settings.bb
     B = bb.batch_size
     m = dense.nvars
     N = max(bb.turbo_capacity, 8 * B)
+    if init_nodes is not None and len(init_nodes) > N // 2:
+        return None   # frontier too large for the slab
     if data is None:
         data = build_ipm_data(dense)
     if mesh is not None:
@@ -485,14 +493,35 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
                  if prob.indicators else None)
     chunk = _chunk_for(settings, dense.integral, B, data, ind_pairs, mesh)
 
+    if init_nodes is not None:
+        K = len(init_nodes)
+        flb0 = np.zeros((N, m))
+        fub0 = np.zeros((N, m))
+        fb0 = np.full((N,), np.inf)
+        for i, (nlb, nub, nbound) in enumerate(init_nodes):
+            flb0[i] = nlb
+            fub0[i] = nub
+            fb0[i] = nbound
+        valid0 = np.zeros((N,), bool)
+        valid0[:K] = True
+    else:
+        flb0 = np.zeros((N, m))
+        fub0 = np.zeros((N, m))
+        flb0[0] = root_lb
+        fub0[0] = root_ub
+        fb0 = np.full((N,), np.inf)
+        fb0[0] = -np.inf
+        valid0 = np.zeros((N,), bool)
+        valid0[0] = True
+
     has0 = inc_y0 is not None and np.isfinite(inc_val0)
     st = TurboState(
-        flb=jnp.zeros((N, m)).at[0].set(jnp.asarray(root_lb)),
-        fub=jnp.zeros((N, m)).at[0].set(jnp.asarray(root_ub)),
-        fbound=jnp.full((N,), jnp.inf).at[0].set(-jnp.inf),
+        flb=jnp.asarray(flb0),
+        fub=jnp.asarray(fub0),
+        fbound=jnp.asarray(fb0),
         fwarm=jnp.zeros((N, m)),
         fwok=jnp.zeros((N,), bool),
-        fvalid=jnp.zeros((N,), bool).at[0].set(True),
+        fvalid=jnp.asarray(valid0),
         inc_val=jnp.asarray(float(inc_val0) if has0 else np.inf),
         inc_y=(jnp.asarray(inc_y0) if has0 else jnp.zeros((m,))),
         has_inc=jnp.asarray(bool(has0)),

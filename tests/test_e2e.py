@@ -19,6 +19,7 @@ import pytest
 
 from scipsdp_tpu.core.branchbound import solve_misdp
 from scipsdp_tpu.models.io import read_problem
+from scipsdp_tpu.utils.config import BBSettings, Settings
 from scipsdp_tpu.utils.status import SolveStatus
 
 from conftest import INSTANCES
@@ -64,3 +65,29 @@ def test_instance_parity(name, expect):
         tol = 1e-4 * max(1.0, abs(expect))
         assert abs(res.objval - expect) <= tol, (
             f"{name}: got {res.objval}, expected {expect}")
+
+
+def test_deferred_turbo_engagement(instances_dir):
+    """On CPU the host loop runs first and hands its frontier to the
+    device-resident path once the tree proves large (the chunk compile
+    only amortizes on big trees); the handoff must keep the optimum."""
+    import os
+
+    from scipsdp_tpu.core import turbo as tmod
+
+    orig = tmod.solve_turbo
+    handoffs = []
+
+    def spy(*a, **k):
+        handoffs.append(k.get("init_nodes") is not None)
+        return orig(*a, **k)
+
+    tmod.solve_turbo = spy
+    try:
+        prob = read_problem(os.path.join(instances_dir,
+                                         "example_TT.dat-s.gz"))
+        res = solve_misdp(prob, Settings(bb=BBSettings(batch_size=4)))
+    finally:
+        tmod.solve_turbo = orig
+    assert abs(res.objval - 2.11803) < 1e-4
+    assert handoffs == [True]          # engaged once, with a frontier

@@ -32,6 +32,10 @@ _PARAM_MAP = {
     "relaxing/SDP/warmstartproject": ("bb", "warmstartproject", int),
     "relaxing/SDP/warmstartroundonlyinf": ("bb", "warmstartroundonlyinf",
                                            bool),
+    "relaxing/SDP/warmstartpreoptsol": ("bb", "warmstartpreoptsol", bool),
+    "relaxing/SDP/warmstartpreoptgap": ("bb", "warmstartpreoptgap", float),
+    "relaxing/SDP/warmstartiptype": ("bb", "warmstartiptype", int),
+    "relaxing/SDP/slatercheck": ("bb", "slatercheck", int),
     "relaxing/SDP/conflictconss": ("bb", "conflictconss", bool),
     "relaxing/SDP/conflictfeas": ("bb", "conflictfeas", bool),
     "relaxing/SDP/conflictinfeas": ("bb", "conflictinfeas", bool),
@@ -43,6 +47,8 @@ _PARAM_MAP = {
                                          bool),
     "constraints/SDP/twominorprodconss": ("presolve", "twominorprodconss",
                                           bool),
+    "constraints/SDP/twominorsocconss": ("presolve", "twominorsocconss",
+                                         bool),
     "constraints/SDP/twominorvarbounds": ("presolve", "twominorvarbounds",
                                           bool),
     "constraints/SDP/tightenmatrices": ("presolve", "tightenmatrices", bool),

@@ -78,6 +78,9 @@ class BBStats:
     slater_holds: int = 0     # per-node dual Slater accounting
     slater_fails: int = 0     # (table_slater.c role; slatercheck knob)
     slater_undecided: int = 0
+    # per-routine propagation timing (constraints/SDP/enableproptiming,
+    # cons_sdp.c:265-292): routine name -> accumulated seconds
+    prop_times: dict = dataclasses.field(default_factory=dict)
     wall_time: float = 0.0
     solve_time: float = 0.0   # device relaxation-solve time (sdpiclock role)
 
@@ -236,6 +239,8 @@ class _Solver:
         from scipsdp_tpu.core.propagate import (
             matrix_view, propagate_3minors, propagate_upper_bounds,
             tighten_bounds)
+        timing = self.settings.bb.enableproptiming
+        tmr = time.perf_counter if timing else None
         extra = None
         if self._conf_D:
             if self._conf_cache is None or len(self._conf_cache[1]) != len(
@@ -246,15 +251,31 @@ class _Solver:
                     np.full(len(self._conf_lhs), INF),
                 )
             extra = self._conf_cache
+        t0 = tmr() if timing else 0.0
         lb, ub, conflict = tighten_bounds(self.prob, lb, ub, rounds=2,
                                           extra=extra)
+        if timing:
+            self.stats.prop_times["tightenbounds"] = (
+                self.stats.prop_times.get("tightenbounds", 0.0)
+                + tmr() - t0)
         pf = self.settings.bb.prop_freq
         if (not conflict and pf > 0 and depth % pf == 0
                 and self.prob.blocks):
             if self._mv is None:
                 self._mv = matrix_view(self.prob)
+            t0 = tmr() if timing else 0.0
             nt = propagate_upper_bounds(self.prob, lb, ub, self._mv)
+            if timing:
+                t1 = tmr()
+                self.stats.prop_times["propupperbounds"] = (
+                    self.stats.prop_times.get("propupperbounds", 0.0)
+                    + t1 - t0)
+                t0 = t1
             nt += propagate_3minors(self.prob, lb, ub, self._mv)
+            if timing:
+                self.stats.prop_times["prop3minor"] = (
+                    self.stats.prop_times.get("prop3minor", 0.0)
+                    + tmr() - t0)
             if nt:
                 self.stats.redcost_tightenings += nt
                 lb, ub, conflict = tighten_bounds(self.prob, lb, ub,

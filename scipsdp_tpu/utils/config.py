@@ -137,6 +137,10 @@ class BBSettings:
                                    # current node's box (prop_sdpobbt.c;
                                    # the reference default PROP_FREQ = -1
                                    # keeps it OFF)
+    enableproptiming: bool = False  # per-routine propagation timing
+                                    # (constraints/SDP/enableproptiming,
+                                    # cons_sdp.c:265-292); shown in the
+                                    # statistics table
     conflict_nogoods: bool = True  # conflict analysis on propagation
                                    # conflicts (cons_sdp.c:4793,5138
                                    # analog): learn a binary no-good row

@@ -49,6 +49,7 @@ _PARAM_MAP = {
                                           bool),
     "constraints/SDP/twominorsocconss": ("presolve", "twominorsocconss",
                                          bool),
+    "constraints/SDP/enableproptiming": ("bb", "enableproptiming", bool),
     "constraints/SDP/twominorvarbounds": ("presolve", "twominorvarbounds",
                                           bool),
     "constraints/SDP/tightenmatrices": ("presolve", "tightenmatrices", bool),

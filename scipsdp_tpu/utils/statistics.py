@@ -40,6 +40,11 @@ def format_relax_statistics(stats, iface=None) -> str:
         row("multi-host: nodes donated", stats.ndonated)
     row("relaxation solve time (s)", f"{stats.solve_time:.2f}")
     row("wall time (s)", f"{stats.wall_time:.2f}")
+    pt = getattr(stats, "prop_times", None)
+    if pt:
+        lines.append("propagation timing (enableproptiming):")
+        for k, v in sorted(pt.items()):
+            row(k, f"{v:.3f}s")
     # table_slater.c analog: per-node dual Slater condition breakdown
     nsl = (getattr(stats, "slater_holds", 0)
            + getattr(stats, "slater_fails", 0)

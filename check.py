@@ -145,6 +145,19 @@ def main():
             print(f"{name:<28} ERROR      {str(e)[:40]}")
             nfail += 1
             continue
+        finally:
+            # the reference harness runs one PROCESS per instance; here one
+            # process runs all 18, and the accumulated per-shape compiled
+            # executables exhaust LLVM JIT memory maps in LP mode (observed:
+            # "LLVM compilation error: Cannot allocate memory" after ~12
+            # instances).  Executables are per-instance anyway — drop them.
+            import jax
+
+            from scipsdp_tpu.core import sdpi as _sdpi
+            from scipsdp_tpu.core import turbo as _turbo
+            _sdpi._FUSED_JIT_CACHE.clear()
+            _turbo._CHUNK_CACHE.clear()
+            jax.clear_caches()
         dt = time.time() - t0
         if kind == "inf":
             ok = res.status == SolveStatus.INFEASIBLE

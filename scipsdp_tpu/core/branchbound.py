@@ -299,6 +299,20 @@ class _Solver:
         nfix = int(fix0.sum() + fix1.sum())
         if nfix == 0 or nfix > 32:   # too-long no-goods never propagate
             return
+        # VALIDITY GUARD: the no-good claims the binary fixings ALONE are
+        # jointly infeasible, so every bound the child tightened relative
+        # to the root must either be one of those fixings or follow from
+        # them (indicator propagation: binvar = 1 => slack <= 0).  A child
+        # also carrying general-integer splits or propagation tightenings
+        # would yield an UNSOUND row (observed: wrong optimum on the
+        # indicator instance in LP mode).
+        implied = fix0 | fix1
+        for link in self.prob.indicators:
+            if fix1[link.binvar] or clb[link.binvar] >= 0.5:
+                implied[link.slackvar] = True
+        moved = ((clb > root_lb + 1e-9) | (cub < root_ub - 1e-9))
+        if bool(np.any(moved & ~implied)):
+            return
         g = np.zeros(self.m)
         g[fix0] = 1.0
         g[fix1] = -1.0

@@ -74,3 +74,31 @@ def test_learn_nogood_row_semantics():
     # duplicate learning is ignored
     sol.learn_nogood(clb, cub, root_lb, root_ub)
     assert sol.stats.nnogoods == 1
+
+
+def test_nogood_declined_for_nonbinary_deviations():
+    """Soundness guard: a child whose bounds moved beyond its binary
+    fixings (general-integer split, propagation tightening) must NOT
+    yield a no-good — the row would claim the binary fixings alone are
+    infeasible (regression: example_indicator LP mode 659232.92)."""
+    prob = MISDP(
+        nvars=3, obj=np.zeros(3),
+        lb=np.array([0.0, 0.0, 0.0]), ub=np.array([1.0, 1.0, 10.0]),
+        integral=np.array([True, True, True]), blocks=[],
+        lp=LinearConstraints.empty(), name="ng")
+    sol = _Solver(prob, Settings())
+    root_lb, root_ub = prob.lb.copy(), prob.ub.copy()
+    # binary fixing y0 = 1 PLUS a general-integer split y2 <= 4
+    clb = root_lb.copy()
+    cub = root_ub.copy()
+    clb[0] = 1.0
+    cub[2] = 4.0
+    sol.learn_nogood(clb, cub, root_lb, root_ub)
+    assert sol.stats.nnogoods == 0
+    # pure binary fixing: learned
+    cub2 = root_ub.copy()
+    cub2[1] = 0.0
+    clb2 = root_lb.copy()
+    clb2[0] = 1.0
+    sol.learn_nogood(clb2, cub2, root_lb, root_ub)
+    assert sol.stats.nnogoods == 1

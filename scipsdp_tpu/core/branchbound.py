@@ -71,6 +71,10 @@ class BBStats:
     redcost_tightenings: int = 0
     roundingprobinf: int = 0  # nodes cut off by the primal rounding problem
     nnogoods: int = 0         # learned binary no-good conflict rows
+    nnogoods_dropped: int = 0  # no-goods dropped for length (> cap)
+    ncuts_dropped: int = 0    # pool-cut additions rejected at MAX_POOL
+    sym_capped: str = ""      # why the automorphism search was skipped /
+    #                           truncated ("" = it ran to completion)
     nstolen: int = 0          # nodes received from other hosts (multi-host)
     ndonated: int = 0         # nodes donated to other hosts (multi-host)
     orbital_fixings: int = 0  # 0-fixings from symmetry orbits
@@ -101,10 +105,10 @@ class BBResult:
 
 class _Node:
     __slots__ = ("lb", "ub", "bound", "depth", "cuts", "requeues", "ysol",
-                 "xsol", "wsrows", "tier")
+                 "xsol", "wsrows", "tier", "b1")
 
     def __init__(self, lb, ub, bound, depth, cuts=(), requeues=0, ysol=None,
-                 xsol=None, wsrows=-1, tier=None):
+                 xsol=None, wsrows=-1, tier=None, b1=frozenset()):
         self.lb = lb
         self.ub = ub
         self.bound = bound
@@ -122,6 +126,11 @@ class _Node:
         self.tier = tier          # inherited (Gamma, gaptol) penalty tier
         #                           (cons_savedsdpsettings role,
         #                           relax_sdp.c:4085-4120)
+        self.b1 = b1              # frozenset of binaries BRANCHED to 1 on
+        #                           the path (orbital-fixing stabilizer,
+        #                           performOrbitalFixing role); None =
+        #                           provenance unknown (stolen/restored
+        #                           node) -> pin all 1-fixed binaries
 
 
 def _apply_indicator_propagation(prob: MISDP, lb: np.ndarray, ub: np.ndarray):
@@ -297,7 +306,13 @@ class _Solver:
         fix0 = binary & (cub <= 0.5) & (root_ub > 0.5)
         fix1 = binary & (clb >= 0.5) & (root_lb < 0.5)
         nfix = int(fix0.sum() + fix1.sum())
-        if nfix == 0 or nfix > 32:   # too-long no-goods never propagate
+        if nfix == 0:
+            return
+        if nfix > 32:   # too-long no-goods never propagate
+            if self.stats.nnogoods_dropped == 0:
+                print(f"  [notice] conflict no-good with {nfix} fixings "
+                      f"exceeds the 32-literal cap; dropped")
+            self.stats.nnogoods_dropped += 1
             return
         # VALIDITY GUARD: the no-good claims the binary fixings ALONE are
         # jointly infeasible, so every bound the child tightened relative
@@ -371,6 +386,11 @@ class _Solver:
 
     def _add_pool_cut(self, g: np.ndarray, rhs: float) -> bool:
         if len(self.pool) >= MAX_POOL:
+            # no silent caps: a saturated pool is a measurable event
+            if self.stats.ncuts_dropped == 0:
+                print(f"  [notice] eigenvector cut pool saturated at "
+                      f"{MAX_POOL} rows; further cuts dropped")
+            self.stats.ncuts_dropped += 1
             return False
         key = (np.round(g / max(1.0, np.abs(g).max() or 1.0), 6).tobytes(),
                round(float(rhs), 6))
@@ -710,6 +730,11 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             and not root_conflict):
         from scipsdp_tpu.core.symmetry import automorphism_group
         sym_group = automorphism_group(prob)
+        if sym_group.capped:
+            stats.sym_capped = sym_group.capped
+            if log:
+                print(f"  [notice] automorphism search capped: "
+                      f"{sym_group.capped}")
         if not sym_group.nontrivial:
             sym_group = None
 
@@ -774,7 +799,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
     def _push_node(node: _Node, prio: float) -> None:
         frontier.push(node.lb, node.ub, prio, node.depth,
                       side=(node.bound, node.cuts, node.requeues,
-                            node.ysol, node.xsol, node.wsrows, node.tier))
+                            node.ysol, node.xsol, node.wsrows, node.tier,
+                            node.b1))
 
     # native slab-allocated node pool (SCIP-core tree-management role;
     # scipsdp_tpu/native/frontier.cpp), Python-heap fallback
@@ -785,7 +811,9 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         incumbent_y = inc_y
         stats.nodes = nproc
         for nlb, nub, nbound, ndepth in nodes_ck:
-            _push_node(_Node(nlb, nub, nbound, ndepth), nbound)
+            # restored nodes lose branching provenance: b1=None keeps
+            # orbital fixing on its always-sound pin-all-ones fallback
+            _push_node(_Node(nlb, nub, nbound, ndepth, b1=None), nbound)
         if not len(frontier) and incumbent_y is None:
             resume = False
     if (not len(frontier) and (not resume or incumbent_y is None)
@@ -844,7 +872,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         def push_nodes(self, nodes) -> None:
             for (nlb, nub, nbound, ndepth) in nodes:
                 _push_node(_Node(np.asarray(nlb), np.asarray(nub),
-                                 float(nbound), int(ndepth)), float(nbound))
+                                 float(nbound), int(ndepth), b1=None),
+                           float(nbound))
             stats.nstolen += len(nodes)
 
     sync_ctx = _SyncCtx() if sync_hook is not None else None
@@ -928,10 +957,11 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 nbound, ncuts, nreq, nysol, nxsol = side[:5]
                 nws = side[5] if len(side) > 5 else -1
                 ntier = side[6] if len(side) > 6 else None
+                nb1 = side[7] if len(side) > 7 else None
                 if nbound >= incumbent_val - prune_slack:
                     continue   # late bound pruning
                 batch.append(_Node(nlb, nub, nbound, ndepth, ncuts, nreq,
-                                   nysol, nxsol, nws, ntier))
+                                   nysol, nxsol, nws, ntier, nb1))
         if not batch:
             if sync_hook is not None:
                 continue
@@ -943,9 +973,16 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         if sym_group is not None:
             from scipsdp_tpu.core.symmetry import orbital_fixing
             for node in batch:
-                node.ub, nf = orbital_fixing(sym_group, node.lb, node.ub,
-                                             integral, eps=feastol)
+                node.lb, node.ub, nf, oinf = orbital_fixing(
+                    sym_group, node.lb, node.ub, integral, eps=feastol,
+                    branched_ones=node.b1)
                 stats.orbital_fixings += nf
+                if oinf:
+                    # 0- and 1-fixed member in one orbit: node infeasible;
+                    # a conflict box retires it at the presolve rung
+                    node.lb = node.lb.copy()
+                    node.ub = node.ub.copy()
+                    node.lb[0], node.ub[0] = 1.0, 0.0
 
         # in-tree OBBT (prop_sdpobbt.c, PROP_FREQ=-1 in the reference —
         # opt-in here via obbt_freq): tighten continuous bounds of nodes
@@ -1407,16 +1444,24 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                            else child_cuts)
                     for g, rhs in gen:
                         ccuts.append((g, rhs))
-                    children.append((clb, cub, ccuts))
+                    children.append((clb, cub, ccuts, node.b1))
             else:
                 lb1, ub1 = node.lb.copy(), node.ub.copy()
                 lb2, ub2 = node.lb.copy(), node.ub.copy()
                 ub1[j] = split
                 lb2[j] = split + 1.0
-                children = [(lb1, ub1, list(node.cuts)),
-                            (lb2, ub2, list(node.cuts))]
+                # up-child of a binary at split 0: a BRANCHED 1-fixing
+                # (the orbital-fixing stabilizer pins exactly these)
+                b1_up = node.b1
+                if (node.b1 is not None and integral[j]
+                        and lb2[j] >= 0.5 and node.lb[j] < 0.5
+                        and node.ub[j] <= 1.0 + feastol
+                        and node.lb[j] >= -feastol):
+                    b1_up = node.b1 | {int(j)}
+                children = [(lb1, ub1, list(node.cuts), node.b1),
+                            (lb2, ub2, list(node.cuts), b1_up)]
 
-            for clb, cub, ccuts in children:
+            for clb, cub, ccuts, cb1 in children:
                 _apply_indicator_propagation(prob, clb, cub)
                 clb, cub, child_conflict = sol.propagate_node(
                     clb, cub, node.depth + 1)
@@ -1455,7 +1500,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                     and bb.warmstart else None),
                               xsol=ws_X,
                               wsrows=sol.last_q,
-                              tier=ctier),
+                              tier=ctier,
+                              b1=cb1),
                         prio)
 
         if (checkpoint is not None

@@ -103,6 +103,76 @@ class BatchSolveResult:
 _FUSED_JIT_CACHE: dict = {}
 
 
+def _build_fused(ipms, feastol, m, integral_np, indicator_pairs):
+    """Build the jitted fused executable: ipm_solve + fracround/randround
+    candidates + feasibility check, all in one device graph (one
+    dispatch).  Module-level (NOT a bound method) so the module-wide cache
+    never pins an SDPInterface instance — and its whole problem's device
+    arrays — for process lifetime."""
+    integral_np = np.asarray(integral_np)
+    indicator_pairs = np.asarray(indicator_pairs, np.int32).reshape(-1, 2)
+
+    def _fused_impl(data, b, lb, ub, key, Gcut=None, hcut=None,
+                    cvalid=None, warm_y=None, warm_mask=None,
+                    gaptol_vec=None, warm_X=None, ip_point=None):
+        import dataclasses as _dc
+
+        s = ipms
+        if data.A[0].dtype == jnp.float32:
+            s = _dc.replace(s, dtype="float32", chol_reg=1e-9)
+        out = ipm_solve(data, b, lb, ub, Gcut, hcut, cvalid,
+                        warm_y, warm_mask, gaptol_vec, warm_X, ip_point,
+                        settings=s)
+        B = b.shape[0]
+        y = out.y[:, :m]
+        integral = jnp.asarray(integral_np)
+
+        def finish(yc):
+            yc = jnp.clip(yc, lb[:, :m], ub[:, :m])
+            for bi, si in indicator_pairs:
+                on = yc[:, bi] >= 0.5
+                yc = yc.at[:, si].set(jnp.where(on, 0.0, yc[:, si]))
+            yx = jnp.concatenate([yc, jnp.zeros((B, 1), yc.dtype)], axis=1)
+            # feasibility: Z(y) + feastol*I PSD via a Cholesky probe — the
+            # same accept/reject decision as the lambda_min >= -feastol
+            # check (cons_sdp.c:672) without an eigendecomposition (f64
+            # eigh is the most expensive kernel on TPU)
+            ok = jnp.ones((B,), bool)
+            for t in range(data.nbuckets):
+                Z = jnp.einsum("kjab,xj->xkab", data.A[t], yx) \
+                    - data.C[t][None]
+                dm = data.dimmask[t]
+                outer = dm[:, :, None] & dm[:, None, :]
+                eye = jnp.eye(Z.shape[-1], dtype=Z.dtype)
+                Zs = jnp.where(outer[None], Z + feastol * eye, eye)
+                L = jnp.linalg.cholesky(Zs)
+                ok = ok & ~jnp.any(jnp.isnan(L), axis=(1, 2, 3))
+            Gy = jnp.einsum("pm,xm->xp", data.G, yx)
+            ok = ok & jnp.all(Gy >= data.h[None] - feastol, axis=1)
+            if Gcut is not None:
+                Gcy = jnp.einsum("xqm,xm->xq", Gcut[:, :, :m], yc)
+                ok = ok & jnp.all(jnp.where(cvalid, Gcy >= hcut - feastol,
+                                            True), axis=1)
+            # clipping against fractional bounds may destroy integrality
+            frac_c = jnp.where(integral[None, :],
+                               jnp.abs(yc - jnp.round(yc)), 0.0)
+            ok = ok & (jnp.max(frac_c, axis=1) <= feastol)
+            return yc, ok, jnp.sum(yc * data.b_base[None, :m], axis=1)
+
+        y0 = jnp.where(integral[None, :], jnp.round(y), y)
+        frac = y - jnp.floor(y)
+        rnd = jax.random.uniform(key, frac.shape, dtype=frac.dtype)
+        y1 = jnp.where(integral[None, :],
+                       jnp.floor(y) + (rnd < frac), y)
+        y0c, f0, v0 = finish(y0)
+        y1c, f1, v1 = finish(y1)
+        use1 = f1 & (~f0 | (v1 < v0))
+        yr = jnp.where(use1[:, None], y1c, y0c)
+        return out, yr, (f0 | f1), jnp.where(use1, v1, v0)
+
+    return jax.jit(_fused_impl)
+
+
 class SDPInterface:
     """Batched SDP relaxation solver for one problem's data.
 
@@ -141,19 +211,25 @@ class SDPInterface:
             if indicator_pairs is not None and len(indicator_pairs)
             else np.zeros((0, 2), np.int32))
         # the jitted executable is shared MODULE-WIDE across interfaces
-        # whose trace would be identical (the only self-reads inside
-        # _fused_impl are captured by this key; problem data is a traced
+        # whose trace would be identical (everything _build_fused closes
+        # over is captured by this key; problem data is a traced
         # argument).  Without this, every fresh SDPInterface re-compiles —
         # the warmstartproject=4 rounding problems build one per node
         # (solvePrimalRoundingProblem role) and were paying a full XLA
-        # compile each.
+        # compile each.  Keyed by mesh CONTENT, not id() (ids are reused
+        # after GC); bounded so long multi-problem processes don't
+        # accumulate executables.
+        from scipsdp_tpu.parallel.mesh import mesh_key
         fkey = (self.settings.ipm, self.settings.bb.feastol, self.m,
                 self.dense.integral.tobytes(),
-                self._indicator_pairs.tobytes(),
-                None if mesh is None else id(mesh))
+                self._indicator_pairs.tobytes(), mesh_key(mesh))
         fn = _FUSED_JIT_CACHE.get(fkey)
         if fn is None:
-            fn = jax.jit(self._fused_impl)
+            fn = _build_fused(self.settings.ipm, self.settings.bb.feastol,
+                              self.m, self.dense.integral,
+                              self._indicator_pairs)
+            while len(_FUSED_JIT_CACHE) >= 32:
+                _FUSED_JIT_CACHE.pop(next(iter(_FUSED_JIT_CACHE)))
             _FUSED_JIT_CACHE[fkey] = fn
         self._fused = fn
         # multi-chip: shard the problem image over the "blocks" axis and
@@ -245,70 +321,6 @@ class SDPInterface:
                                    self._put(np.asarray(gaptol)),
                                    warm_X, self._ip_point)
         return out
-
-    def _fused_impl(self, data, b, lb, ub, key, Gcut=None, hcut=None,
-                    cvalid=None, warm_y=None, warm_mask=None,
-                    gaptol_vec=None, warm_X=None, ip_point=None):
-        """ipm_solve + fracround/randround candidates + feasibility check,
-        all in one jitted graph (one device dispatch)."""
-        import jax.numpy as jnp
-
-        import dataclasses as _dc
-
-        s = self.settings.ipm
-        if data.A[0].dtype == jnp.float32:
-            s = _dc.replace(s, dtype="float32", chol_reg=1e-9)
-        out = ipm_solve(data, b, lb, ub, Gcut, hcut, cvalid,
-                        warm_y, warm_mask, gaptol_vec, warm_X, ip_point,
-                        settings=s)
-        m = self.m
-        B = b.shape[0]
-        y = out.y[:, :m]
-        integral = jnp.asarray(self.dense.integral)
-        feastol = self.settings.bb.feastol
-
-        def finish(yc):
-            yc = jnp.clip(yc, lb[:, :m], ub[:, :m])
-            for bi, si in self._indicator_pairs:
-                on = yc[:, bi] >= 0.5
-                yc = yc.at[:, si].set(jnp.where(on, 0.0, yc[:, si]))
-            yx = jnp.concatenate([yc, jnp.zeros((B, 1), yc.dtype)], axis=1)
-            # feasibility: Z(y) + feastol*I PSD via a Cholesky probe — the
-            # same accept/reject decision as the lambda_min >= -feastol
-            # check (cons_sdp.c:672) without an eigendecomposition (f64
-            # eigh is the most expensive kernel on TPU)
-            ok = jnp.ones((B,), bool)
-            for t in range(data.nbuckets):
-                Z = jnp.einsum("kjab,xj->xkab", data.A[t], yx) \
-                    - data.C[t][None]
-                dm = data.dimmask[t]
-                outer = dm[:, :, None] & dm[:, None, :]
-                eye = jnp.eye(Z.shape[-1], dtype=Z.dtype)
-                Zs = jnp.where(outer[None], Z + feastol * eye, eye)
-                L = jnp.linalg.cholesky(Zs)
-                ok = ok & ~jnp.any(jnp.isnan(L), axis=(1, 2, 3))
-            Gy = jnp.einsum("pm,xm->xp", data.G, yx)
-            ok = ok & jnp.all(Gy >= data.h[None] - feastol, axis=1)
-            if Gcut is not None:
-                Gcy = jnp.einsum("xqm,xm->xq", Gcut[:, :, :m], yc)
-                ok = ok & jnp.all(jnp.where(cvalid, Gcy >= hcut - feastol,
-                                            True), axis=1)
-            # clipping against fractional bounds may destroy integrality
-            frac_c = jnp.where(integral[None, :],
-                               jnp.abs(yc - jnp.round(yc)), 0.0)
-            ok = ok & (jnp.max(frac_c, axis=1) <= feastol)
-            return yc, ok, jnp.sum(yc * data.b_base[None, :m], axis=1)
-
-        y0 = jnp.where(integral[None, :], jnp.round(y), y)
-        frac = y - jnp.floor(y)
-        rnd = jax.random.uniform(key, frac.shape, dtype=frac.dtype)
-        y1 = jnp.where(integral[None, :],
-                       jnp.floor(y) + (rnd < frac), y)
-        y0c, f0, v0 = finish(y0)
-        y1c, f1, v1 = finish(y1)
-        use1 = f1 & (~f0 | (v1 < v0))
-        yr = jnp.where(use1[:, None], y1c, y0c)
-        return out, yr, (f0 | f1), jnp.where(use1, v1, v0)
 
     def conflict_cuts(self, res: "BatchSolveResult"):
         """Dual-aggregation cuts from the primal certificates

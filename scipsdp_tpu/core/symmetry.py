@@ -23,6 +23,7 @@ handling behind SCIP versions/params too).
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 from typing import List, Optional
 
 import numpy as np
@@ -30,12 +31,21 @@ import numpy as np
 from scipsdp_tpu.models.problem import INF, LinearConstraints, MISDP
 
 
+def _h(obj) -> int:
+    """Stable 63-bit signature hash.  Python's builtin hash() is salted by
+    PYTHONHASHSEED for str payloads, which made the budgeted generator
+    search (and hence orbital-fixing/node counts) vary run-to-run; blake2b
+    over the canonical repr of these primitive tuples is deterministic."""
+    d = hashlib.blake2b(repr(obj).encode(), digest_size=8).digest()
+    return int.from_bytes(d, "little") & 0x7FFFFFFFFFFFFFFF
+
+
 def _var_signatures(prob: MISDP, rounds: int = 4) -> np.ndarray:
     """Color refinement: hashable signatures invariant under symmetry."""
     m = prob.nvars
     D = prob.lp.dense(m)
     base = [
-        hash((round(float(prob.obj[j]), 9), round(float(prob.lb[j]), 9),
+        _h((round(float(prob.obj[j]), 9), round(float(prob.lb[j]), 9),
               round(float(prob.ub[j]), 9), bool(prob.integral[j])))
         for j in range(m)
     ]
@@ -44,7 +54,7 @@ def _var_signatures(prob: MISDP, rounds: int = 4) -> np.ndarray:
         rowsig = []
         for i in range(prob.lp.nrows):
             nz = np.nonzero(D[i])[0]
-            rowsig.append(hash((
+            rowsig.append(_h((
                 round(float(prob.lp.lhs[i]), 9),
                 round(float(prob.lp.rhs[i]), 9),
                 tuple(sorted((round(float(D[i, j]), 9), int(colors[j]))
@@ -61,7 +71,7 @@ def _var_signatures(prob: MISDP, rounds: int = 4) -> np.ndarray:
                 (bool(r == c), round(float(v), 9))
                 for r, c, v in zip(blk.const_row, blk.const_col,
                                    blk.const_val)))
-            blocksig.append(hash((blk.size, blk.rank1, ent, cst)))
+            blocksig.append(_h((blk.size, blk.rank1, ent, cst)))
         newc = []
         for j in range(m):
             inrows = tuple(sorted(
@@ -76,7 +86,7 @@ def _var_signatures(prob: MISDP, rounds: int = 4) -> np.ndarray:
                         for r, c, v in zip(blk.row[mask], blk.col[mask],
                                            blk.val[mask])))
                     inblocks.append((blocksig[k], ent))
-            newc.append(hash((int(colors[j]), inrows,
+            newc.append(_h((int(colors[j]), inrows,
                               tuple(sorted(inblocks)))))
         colors = np.array(newc, dtype=np.int64)
     return colors
@@ -298,7 +308,7 @@ def _pair_signatures(prob: MISDP, colors: np.ndarray) -> np.ndarray:
     D = prob.lp.dense(m)
     for i in range(prob.lp.nrows):
         nz = np.nonzero(D[i])[0]
-        h = hash((round(float(prob.lp.lhs[i]), 9),
+        h = _h((round(float(prob.lp.lhs[i]), 9),
                   round(float(prob.lp.rhs[i]), 9),
                   tuple(sorted((round(float(D[i, j]), 9), int(colors[j]))
                                for j in nz))))
@@ -313,7 +323,7 @@ def _pair_signatures(prob: MISDP, colors: np.ndarray) -> np.ndarray:
     # within-block index permutations.  The index-sharing relation is what
     # carries graph structure (e.g. MkP edge variables sharing a vertex).
     for bi, blk in enumerate(prob.blocks):
-        bsig = hash((blk.size, bool(blk.rank1)))
+        bsig = _h((blk.size, bool(blk.rank1)))
         cells: dict = {}
         touch: dict = {}   # matrix index -> [(var, val, isdiag, other_idx)]
         for j, r, c, v in zip(blk.var, blk.row, blk.col, blk.val):
@@ -339,7 +349,7 @@ def _pair_signatures(prob: MISDP, colors: np.ndarray) -> np.ndarray:
                                      oa == ob, deg))
     R = np.zeros((m, m), dtype=np.int64)
     for (j, k), items in acc.items():
-        R[j, k] = hash(tuple(sorted(items)))
+        R[j, k] = _h(tuple(sorted(items)))
     return R
 
 
@@ -368,6 +378,8 @@ class SymmetryGroup:
     generators: List[np.ndarray]      # each: sigma with sigma[j] = image
     orbits: List[List[int]]           # orbits of size >= 2
     complete: bool                    # False if the search budget ran out
+    capped: str = ""                  # non-empty: why the search was
+    #                                   skipped/truncated (no silent caps)
 
     @property
     def nontrivial(self) -> bool:
@@ -433,8 +445,12 @@ def automorphism_group(prob: MISDP, max_vars: int = 160,
     Every returned generator is exact (`_equivalent`-verified); a budget
     exhaustion only loses symmetries (complete=False), never invents one."""
     m = prob.nvars
-    if prob.indicators or m > max_vars:
-        return SymmetryGroup(m, [], [], False)
+    if prob.indicators:
+        return SymmetryGroup(m, [], [], False,
+                             capped="indicator constraints present")
+    if m > max_vars:
+        return SymmetryGroup(m, [], [], False,
+                             capped=f"{m} vars > max_vars={max_vars}")
     colors = _var_signatures(prob)
     cells_of: dict = {}
     for j in range(m):
@@ -488,7 +504,9 @@ def automorphism_group(prob: MISDP, max_vars: int = 160,
         groups.setdefault(find(j), []).append(j)
     orbits = [sorted(g) for g in groups.values() if len(g) >= 2]
     orbits.sort()
-    return SymmetryGroup(m, gens, orbits, complete)
+    return SymmetryGroup(m, gens, orbits, complete,
+                         capped=("" if complete
+                                 else f"search budget {budget} exhausted"))
 
 
 def orbits_of(generators: List[np.ndarray], m: int,
@@ -515,37 +533,66 @@ def orbits_of(generators: List[np.ndarray], m: int,
 
 
 def orbital_fixing(group: SymmetryGroup, lb: np.ndarray, ub: np.ndarray,
-                   integral: np.ndarray, eps: float = 1e-6):
+                   integral: np.ndarray, eps: float = 1e-6,
+                   branched_ones=None):
     """Orbital fixing at a B&B node (prop_sdpsymmetry.c role; Margot-style
-    rule as in SCIP's performOrbitalFixing):
+    rules as in SCIP's performOrbitalFixing):
 
-    * let ones = binary variables locally fixed to 1; take the subgroup
-      generated by the generators that fix every such variable POINTWISE
-      (a subgroup of the setwise stabilizer — safe);
-    * in each orbit of that subgroup, if any member is fixed to 0, every
-      member may be fixed to 0 (a symmetric image of any surviving
-      solution realizes the fixing).
+    * the stabilizer pins pointwise only the binaries BRANCHED to 1 on the
+      node's path (``branched_ones``, an iterable of variable indices);
+      generators surviving the filter generate a subgroup of the setwise
+      stabilizer — safe.  When provenance is unknown (donated/restored
+      nodes pass ``None``), every locally 1-fixed binary is pinned — the
+      strictly weaker but always-sound fallback;
+    * in each orbit of that subgroup: a 0-fixed member fixes the whole
+      orbit to 0; a 1-fixed member (necessarily a PROPAGATION fixing —
+      branched ones are orbit singletons by construction) fixes the whole
+      orbit to 1 (the reference's havefixedone case); an orbit holding
+      both a 0- and a 1-fixed member proves the node infeasible.
 
-    Returns (new_ub, nfixed); lb is never changed (1-fixed variables are
-    singletons in the stabilizer, so no orbit can force a 1)."""
+    Returns (new_lb, new_ub, nfixed, infeasible)."""
     if not group.nontrivial:
-        return ub, 0
+        return lb, ub, 0, False
     m = group.nvars
     binary = integral & (lb >= -eps) & (ub <= 1.0 + eps)
     ones = binary & (lb >= 1.0 - eps)
     zeros = binary & (ub <= eps)
-    if not zeros.any():
-        return ub, 0
-    stab = [g for g in group.generators if np.all(g[ones] == np.where(ones)[0])]
+    if branched_ones is None:
+        pin = ones
+    else:
+        pin = np.zeros(m, dtype=bool)
+        bo = list(branched_ones)
+        if bo:
+            pin[np.asarray(bo, dtype=int)] = True
+        pin = pin & ones
+    prop_ones = ones & ~pin
+    if not zeros.any() and not prop_ones.any():
+        return lb, ub, 0, False
+    idx = np.arange(m)
+    stab = [g for g in group.generators if np.all(g[pin] == idx[pin])]
     if not stab:
-        return ub, 0
+        return lb, ub, 0, False
     orb = orbits_of(stab, m)
-    new_ub = ub.copy()
+    new_lb, new_ub = lb.copy(), ub.copy()
     nfixed = 0
-    for oid in np.unique(orb[zeros]):
-        members = (orb == oid) & binary & ~zeros & ~ones
-        k = int(members.sum())
-        if k:
-            new_ub[members] = np.minimum(new_ub[members], 0.0)
-            nfixed += k
-    return new_ub, nfixed
+    for oid in np.unique(orb):
+        members = (orb == oid) & binary
+        if int(members.sum()) < 2:
+            continue
+        has0 = bool((members & zeros).any())
+        has1 = bool((members & ones).any())
+        if has0 and has1:
+            return lb, ub, 0, True
+        if has0:
+            free = members & ~zeros & ~ones
+            k = int(free.sum())
+            if k:
+                new_ub[free] = np.minimum(new_ub[free], 0.0)
+                nfixed += k
+        elif has1:
+            free = members & ~ones
+            k = int(free.sum())
+            if k:
+                new_lb[free] = np.maximum(new_lb[free], 1.0)
+                nfixed += k
+    return new_lb, new_ub, nfixed, False

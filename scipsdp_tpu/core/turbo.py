@@ -430,14 +430,17 @@ def _chunk_for(settings: Settings, integral: np.ndarray, B: int,
                  hasattr(a, "dtype") else str(a.dtype))
                 for a in jax.tree_util.tree_leaves(data))
     # limits are traced / host-side, not part of the graph
+    from scipsdp_tpu.parallel.mesh import mesh_key
     bb_key = _dc.replace(settings.bb, node_limit=0, time_limit=0.0)
     ind_key = None if ind_pairs is None else ind_pairs.tobytes()
     key = (B, settings.ipm, bb_key, integral.tobytes(), sig, ind_key,
-           None if mesh is None else id(mesh))
+           mesh_key(mesh))
     fn = _CHUNK_CACHE.get(key)
     if fn is None:
         fn = jax.jit(make_round(settings, integral, B, ind_pairs, mesh),
                      static_argnames=("k",))
+        while len(_CHUNK_CACHE) >= 32:
+            _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
         _CHUNK_CACHE[key] = fn
     return fn
 
@@ -481,13 +484,15 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
         return None   # frontier too large for the slab
     if data is None:
         data = build_ipm_data(dense)
+    if mesh is not None and B % mesh.shape["nodes"]:
+        mesh = None   # batch not divisible: single-device fallback
+        #               (checked BEFORE sharding the data so the fallback
+        #               graph runs over genuinely unsharded arrays)
     if mesh is not None:
         # shard the problem image over "blocks"; the chunk's sharding
         # constraints shard the node batch over "nodes"
         from scipsdp_tpu.parallel.mesh import data_sharding
         data = jax.device_put(data, data_sharding(mesh, data))
-        if B % mesh.shape["nodes"]:
-            mesh = None   # batch not divisible: single-device fallback
     ind_pairs = (np.asarray([(l.binvar, l.slackvar)
                              for l in prob.indicators], dtype=np.int32)
                  if prob.indicators else None)

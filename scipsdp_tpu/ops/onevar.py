@@ -33,26 +33,29 @@ from scipsdp_tpu.models.problem import INF
 LANCZOS_SWITCH = 180
 
 
-def lam_min_lanczos(M: np.ndarray, iters: int = 120,
-                    seed: int = 7) -> Tuple[float, np.ndarray]:
+def lam_min_lanczos(M: np.ndarray, iters: int = 120, seed: int = 7,
+                    restol: float = 1e-8) -> Tuple[float, np.ndarray]:
     """Smallest eigenpair of a symmetric matrix by Lanczos with full
     reorthogonalization (the ARPACK dsaupd role, arpack_interface.c:237).
 
-    Krylov dimension min(iters, n); the Ritz pair from the tridiagonal
-    projection converges to the extreme eigenpair geometrically — ample
-    at the feastol accuracies the one-var solver targets."""
+    The Rayleigh-Ritz value is extracted from the EXACT projection
+    T = V^T M V of the orthonormalized basis (reorthogonalization perturbs
+    the three-term recurrence, so the recurrence tridiagonal is not the
+    true projection), and the Ritz pair is accepted only when its residual
+    ||M v - lam v|| passes a tolerance scaled like the feastol checks that
+    consume it; otherwise fall back to a dense eigh — Ritz values only
+    upper-bound lambda_min, and an overestimate would err exactly in the
+    unsafe (infeasible-declared-feasible) direction."""
     n = M.shape[0]
     k = min(iters, n)
     rng = np.random.default_rng(seed)
     V = np.empty((k, n))
-    alpha = np.empty(k)
-    beta = np.empty(k)
     v = rng.standard_normal(n)
     v /= np.linalg.norm(v)
     V[0] = v
     w = M @ v
-    alpha[0] = v @ w
-    w -= alpha[0] * v
+    alpha0 = v @ w
+    w -= alpha0 * v
     used = 1
     for j in range(1, k):
         b = np.linalg.norm(w)
@@ -67,16 +70,21 @@ def lam_min_lanczos(M: np.ndarray, iters: int = 120,
         v /= nv
         V[j] = v
         w = M @ v
-        alpha[j] = v @ w
-        beta[j - 1] = b
-        w -= alpha[j] * v + b * V[j - 1]
+        w -= (v @ w) * v + b * V[j - 1]
         used = j + 1
-    T = (np.diag(alpha[:used])
-         + np.diag(beta[:used - 1], 1) + np.diag(beta[:used - 1], -1))
+    Vu = V[:used]
+    MV = Vu @ M              # (used, n) rows are (M v_i)^T
+    T = MV @ Vu.T            # exact Rayleigh-Ritz projection
+    T = 0.5 * (T + T.T)
     evals, evecs = np.linalg.eigh(T)
     lam = float(evals[0])
-    vec = V[:used].T @ evecs[:, 0]
+    vec = Vu.T @ evecs[:, 0]
     vec /= np.linalg.norm(vec)
+    resid = float(np.linalg.norm(M @ vec - lam * vec))
+    if resid > restol * max(1.0, float(np.abs(MV).max())):
+        # unconverged Krylov space (clustered spectrum): exact fallback
+        evals, evecs = np.linalg.eigh(M)
+        return float(evals[0]), evecs[:, 0]
     return lam, vec
 
 

@@ -27,6 +27,18 @@ from scipsdp_tpu.ops.ipm import IPMData, ipm_solve
 from scipsdp_tpu.utils.config import IPMSettings
 
 
+def mesh_key(mesh) -> Optional[tuple]:
+    """Stable content key of a mesh for executable caches.  ``id(mesh)``
+    is unsafe (CPython reuses ids after GC, aliasing a stale executable
+    compiled for dead devices); axis names + device ids + shape are the
+    identity that matters to a compiled graph."""
+    if mesh is None:
+        return None
+    return (tuple(mesh.axis_names), mesh.devices.shape,
+            tuple(d.id for d in mesh.devices.flat),
+            getattr(mesh.devices.flat[0], "platform", "?"))
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axes: Sequence[str] = ("nodes",)) -> Mesh:
     """Build a mesh over the first ``n_devices`` devices.

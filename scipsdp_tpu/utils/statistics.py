@@ -35,6 +35,12 @@ def format_relax_statistics(stats, iface=None) -> str:
         row("learned no-good rows", stats.nnogoods)
     if getattr(stats, "orbital_fixings", 0):
         row("orbital fixings (symmetry)", stats.orbital_fixings)
+    if getattr(stats, "nnogoods_dropped", 0):
+        row("no-goods dropped (length cap)", stats.nnogoods_dropped)
+    if getattr(stats, "ncuts_dropped", 0):
+        row("pool cuts dropped (pool cap)", stats.ncuts_dropped)
+    if getattr(stats, "sym_capped", ""):
+        row("automorphism search capped", stats.sym_capped)
     if getattr(stats, "nstolen", 0) or getattr(stats, "ndonated", 0):
         row("multi-host: nodes stolen", stats.nstolen)
         row("multi-host: nodes donated", stats.ndonated)

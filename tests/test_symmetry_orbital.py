@@ -82,24 +82,44 @@ def test_orbital_fixing_rule():
     # no fixings -> nothing to do
     lb = np.zeros(m)
     ub = np.ones(m)
-    new_ub, nf = orbital_fixing(grp, lb, ub, integral)
-    assert nf == 0
+    _, new_ub, nf, inf0 = orbital_fixing(grp, lb, ub, integral)
+    assert nf == 0 and not inf0
 
     # y1 fixed to 0: stabilizer of (empty ones) is the whole group ->
     # whole orbit goes to 0
     ub2 = ub.copy()
     ub2[1] = 0.0
-    new_ub, nf = orbital_fixing(grp, lb, ub2, integral)
+    _, new_ub, nf, _ = orbital_fixing(grp, lb, ub2, integral)
     assert nf == 2
     assert new_ub[0] == 0.0 and new_ub[2] == 0.0 and new_ub[3] == 1.0
 
-    # y0 fixed to 1, y1 fixed to 0: only g2 (fixing 0 pointwise) survives;
-    # orbit {1,2} -> y2 fixed to 0, y0 untouched
+    # y0 BRANCHED to 1, y1 fixed to 0: only g2 (fixing 0 pointwise)
+    # survives; orbit {1,2} -> y2 fixed to 0, y0 untouched
     lb3 = lb.copy()
     lb3[0] = 1.0
-    new_ub, nf = orbital_fixing(grp, lb3, ub2, integral)
+    _, new_ub, nf, _ = orbital_fixing(grp, lb3, ub2, integral,
+                                      branched_ones={0})
     assert nf == 1
     assert new_ub[2] == 0.0 and new_ub[0] == 1.0
+
+    # provenance-unknown fallback (branched_ones=None) pins all ones:
+    # same result here
+    _, new_ub, nf, _ = orbital_fixing(grp, lb3, ub2, integral)
+    assert nf == 1 and new_ub[2] == 0.0
+
+    # y0 fixed to 1 by PROPAGATION (no branched ones): whole group acts,
+    # orbit {0,1,2} holds both a 1- and a 0-fixed member -> infeasible
+    _, _, _, isinf = orbital_fixing(grp, lb3, ub2, integral,
+                                    branched_ones=set())
+    assert isinf
+
+    # propagation-fixed 1 without any 0-fixed member: orbit fixes to 1
+    lb4 = lb.copy()
+    lb4[0] = 1.0
+    new_lb, _, nf, isinf = orbital_fixing(grp, lb4, ub, integral,
+                                          branched_ones=set())
+    assert not isinf and nf == 2
+    assert new_lb[1] == 1.0 and new_lb[2] == 1.0
 
 
 def test_orbital_solve_parity_and_fixings():

@@ -108,6 +108,9 @@ def main():
     ap.add_argument("--families", action="store_true",
                     help="perf tier: generated CLS/MkP/TT at several "
                          "sizes; prints a nodes/s scaling table")
+    ap.add_argument("--phase32", default=None,
+                    choices=["off", "on", "refine"],
+                    help="override the IPM mixed-precision mode (A/B aid)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -128,6 +131,10 @@ def main():
         bb=BBSettings(time_limit=args.time_limit),
         solve_sdps=0 if args.lp_approx else 1,
     )
+    if args.phase32 is not None:
+        import dataclasses as _dc
+        settings = _dc.replace(
+            settings, ipm=_dc.replace(settings.ipm, phase32=args.phase32))
 
     print(f"{'instance':<28} {'status':<10} {'objective':>16} "
           f"{'expected':>16} {'nodes':>7} {'time':>8}  result")

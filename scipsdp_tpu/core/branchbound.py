@@ -71,6 +71,10 @@ class BBStats:
     redcost_tightenings: int = 0
     roundingprobinf: int = 0  # nodes cut off by the primal rounding problem
     nnogoods: int = 0         # learned binary no-good conflict rows
+    nenforce_sdp: int = 0     # LP-mode exact-SDP probing enforcement
+    #                           solves (cons_sdp.c:8276-8423)
+    ndropped_nodes: int = 0   # nodes dropped undecidable (separation +
+    #                           enforcement + branching all exhausted)
     nnogoods_dropped: int = 0  # no-goods dropped for length (> cap)
     ncuts_dropped: int = 0    # pool-cut additions rejected at MAX_POOL
     sym_capped: str = ""      # why the automorphism search was skipped /
@@ -82,6 +86,9 @@ class BBStats:
     slater_holds: int = 0     # per-node dual Slater accounting
     slater_fails: int = 0     # (table_slater.c role; slatercheck knob)
     slater_undecided: int = 0
+    slater_primal_holds: int = 0    # per-node PRIMAL Slater accounting
+    slater_primal_fails: int = 0    # (sdpi.c:1748-1812 primal branch)
+    slater_primal_undecided: int = 0
     # per-routine propagation timing (constraints/SDP/enableproptiming,
     # cons_sdp.c:265-292): routine name -> accumulated seconds
     prop_times: dict = dataclasses.field(default_factory=dict)
@@ -1044,14 +1051,32 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         # per-node Slater accounting (checkSlaterCondition, sdpi.c:1518;
         # table_slater.c summary) — one extra batched probe dispatch
         if bb.slatercheck > 0 and not sol.lp_mode:
-            from scipsdp_tpu.core.probing import slater_check
+            from scipsdp_tpu.core.probing import (slater_check,
+                                                  slater_check_primal)
             sl = slater_check(sol.full_iface, lb[: len(batch)],
                               ub[: len(batch)])
             stats.slater_holds += int((sl == 1).sum())
             stats.slater_fails += int((sl == 0).sum())
             stats.slater_undecided += int((sl == -1).sum())
+            # primal side per node (checkSlaterCondition's primal branch,
+            # sdpi.c:1748-1812): all-finite node bounds make the primal
+            # Slater condition hold STRUCTURALLY (every X is feasible via
+            # the bound-slack variables, sdpi.c:1769-1781) — the aux solve
+            # is needed only for boxes with an infinite side
+            slp = np.empty(len(batch), dtype=np.int8)
+            for bi in range(len(batch)):
+                if bool(np.all(lb[bi] > -INF / 2)
+                        & np.all(ub[bi] < INF / 2)):
+                    slp[bi] = 1
+                else:
+                    slp[bi] = slater_check_primal(prob, settings,
+                                                  lb[bi], ub[bi])
+            stats.slater_primal_holds += int((slp == 1).sum())
+            stats.slater_primal_fails += int((slp == 0).sum())
+            stats.slater_primal_undecided += int((slp == -1).sum())
             if bb.slatercheck >= 2:
-                print(f"node slater: {sl.tolist()}")
+                print(f"node slater: dual {sl.tolist()} "
+                      f"primal {slp.tolist()}")
 
         res = sol.solve_relaxations(batch, B, lb, ub)
         stats.nodes += len(batch)
@@ -1178,6 +1203,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
             # acceptance check of the relaxation solution
             enforce_ind = -1
             spatial = None   # (var, splitval, child cuts) for rank-1
+            lp_enforced = False  # exact-SDP enforcement decided to branch
             if y is not None and st in (SolverResultStatus.OPTIMAL,
                                         SolverResultStatus.PRESOLVED_OPTIMAL):
                 frac = np.abs(y[integral] - np.round(y[integral]))
@@ -1186,19 +1212,93 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                     if enforce_ind < 0 and sol.lp_mode:
                         # LP mode enforcement (consEnfolpSdp:8235): an
                         # integral LP solution must still be SDP-feasible;
-                        # if not, separate more cuts and requeue the node
+                        # if not, separate more cuts and requeue the node —
+                        # and after ``enforce_after`` fruitless rounds,
+                        # solve the node's TRUE SDP in probing
+                        # (enforcesdp, cons_sdp.c:8276-8423)
                         ok, _ = check_points(
                             sol.full_iface.data, y[None, :],
                             node.lb[None, :], node.ub[None, :],
                             feastol=feastol)
                         if not bool(np.asarray(ok)[0]):
-                            if node.requeues < 20:
-                                sol._separate(y[None, :], 1)
-                                node.bound = bound
-                                node.requeues += 1
-                                _push_node(node, bound)
-                            continue
-                    if enforce_ind < 0 and spatial is None and prob.liftinfo:
+                            if (bb.enforcesdp
+                                    and node.requeues >= bb.enforce_after):
+                                stats.nenforce_sdp += 1
+                                er = sol.full_iface.solve_batch(
+                                    node.lb[None, :], node.ub[None, :])
+                                est = int(er.status[0])
+                                if est in (
+                                    int(SolverResultStatus.INFEASIBLE),
+                                    int(SolverResultStatus
+                                        .PRESOLVED_INFEASIBLE)):
+                                    continue  # exact cutoff (:8338)
+                                if est in (
+                                    int(SolverResultStatus.OPTIMAL),
+                                    int(SolverResultStatus
+                                        .PRESOLVED_OPTIMAL)):
+                                    eb = float(er.objval[0])
+                                    ey = er.y[0]
+                                    if eb >= (incumbent_val - prune_slack
+                                              + bb.gaplimit
+                                              * abs(incumbent_val)):
+                                        continue  # exact bound prunes
+                                    efr = np.abs(ey[integral]
+                                                 - np.round(ey[integral]))
+                                    eind = _violated_indicator(prob, ey,
+                                                               feastol)
+                                    if ((efr.size == 0
+                                         or np.max(efr) <= feastol)
+                                            and eind < 0):
+                                        # exact node optimum is feasible:
+                                        # node solved (SCIPaddSol +
+                                        # cutoff, :8355-8362)
+                                        okx, _ = check_points(
+                                            sol.full_iface.data,
+                                            ey[None, :],
+                                            node.lb[None, :],
+                                            node.ub[None, :],
+                                            feastol=feastol)
+                                        if bool(np.asarray(okx)[0]):
+                                            if eb < incumbent_val - 1e-12:
+                                                incumbent_val = eb
+                                                incumbent_y = ey.copy()
+                                            continue
+                                    # fractional exact solution: adopt the
+                                    # exact bound + point and branch on it
+                                    y = ey
+                                    bound = max(bound, eb)
+                                    enforce_ind = eind
+                                    # LP bound multipliers are stale for
+                                    # the SDP bound: no dual fixing here
+                                    res.xlb[i] = 0.0
+                                    res.xub[i] = 0.0
+                                    lp_enforced = True
+                                # FAILED exact solve: fall back to
+                                # separation / requeue below
+                            if not lp_enforced:
+                                if node.requeues < 20:
+                                    sol._separate(y[None, :], 1)
+                                    node.bound = bound
+                                    node.requeues += 1
+                                    _push_node(node, bound)
+                                    continue
+                                # separation + enforcement exhausted:
+                                # branch on an unfixed integer for sound
+                                # progress instead of dropping the node
+                                unfx = np.where(
+                                    integral
+                                    & (node.ub - node.lb > feastol))[0]
+                                if unfx.size == 0:
+                                    stats.ndropped_nodes += 1
+                                    print("  [notice] LP-mode node "
+                                          "undecidable (separation + "
+                                          "enforcement exhausted); "
+                                          "dropped")
+                                    continue
+                                y = None
+                                lp_enforced = True
+                    if (enforce_ind < 0 and spatial is None and not lp_enforced
+                            and prob.liftinfo):
                         # bilinear-lift enforcement (quad upgrade): find the
                         # most violated identity w = y_i y_j, branch on the
                         # wider factor at its current value; children get
@@ -1240,7 +1340,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                 incumbent_val = bound
                                 incumbent_y = y.copy()
                             continue
-                    if enforce_ind < 0 and spatial is None and has_rank1:
+                    if (enforce_ind < 0 and spatial is None and not lp_enforced
+                            and has_rank1):
                         v = r1.rank1_violation(sol.dense, y, feastol)
                         if v is not None:
                             # rank-1 extreme-point heuristic: re-solve the
@@ -1389,7 +1490,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                 elif u_ < INF / 2:
                                     sv = min(sv, u_ - 1.0)
                                 spatial = (j, sv, child_cuts)
-                    if enforce_ind < 0 and spatial is None:
+                    if enforce_ind < 0 and spatial is None \
+                            and not lp_enforced:
                         if bound < incumbent_val - 1e-12:
                             incumbent_val = bound
                             incumbent_y = y.copy()

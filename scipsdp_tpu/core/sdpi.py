@@ -114,7 +114,8 @@ def _build_fused(ipms, feastol, m, integral_np, indicator_pairs):
 
     def _fused_impl(data, b, lb, ub, key, Gcut=None, hcut=None,
                     cvalid=None, warm_y=None, warm_mask=None,
-                    gaptol_vec=None, warm_X=None, ip_point=None):
+                    gaptol_vec=None, warm_X=None, ip_point=None,
+                    feastol_vec=None):
         import dataclasses as _dc
 
         s = ipms
@@ -122,7 +123,7 @@ def _build_fused(ipms, feastol, m, integral_np, indicator_pairs):
             s = _dc.replace(s, dtype="float32", chol_reg=1e-9)
         out = ipm_solve(data, b, lb, ub, Gcut, hcut, cvalid,
                         warm_y, warm_mask, gaptol_vec, warm_X, ip_point,
-                        settings=s)
+                        feastol_vec, settings=s)
         B = b.shape[0]
         y = out.y[:, :m]
         integral = jnp.asarray(integral_np)
@@ -135,8 +136,9 @@ def _build_fused(ipms, feastol, m, integral_np, indicator_pairs):
             yx = jnp.concatenate([yc, jnp.zeros((B, 1), yc.dtype)], axis=1)
             # feasibility: Z(y) + feastol*I PSD via a Cholesky probe — the
             # same accept/reject decision as the lambda_min >= -feastol
-            # check (cons_sdp.c:672) without an eigendecomposition (f64
-            # eigh is the most expensive kernel on TPU)
+            # check (cons_sdp.c:672) without an eigendecomposition.  The
+            # factorization runs in f32 (emulated f64 is ~26x dearer and
+            # the +feastol*I shift dwarfs f32 rounding)
             ok = jnp.ones((B,), bool)
             for t in range(data.nbuckets):
                 Z = jnp.einsum("kjab,xj->xkab", data.A[t], yx) \
@@ -145,7 +147,7 @@ def _build_fused(ipms, feastol, m, integral_np, indicator_pairs):
                 outer = dm[:, :, None] & dm[:, None, :]
                 eye = jnp.eye(Z.shape[-1], dtype=Z.dtype)
                 Zs = jnp.where(outer[None], Z + feastol * eye, eye)
-                L = jnp.linalg.cholesky(Zs)
+                L = jnp.linalg.cholesky(Zs.astype(jnp.float32))
                 ok = ok & ~jnp.any(jnp.isnan(L), axis=(1, 2, 3))
             Gy = jnp.einsum("pm,xm->xp", data.G, yx)
             ok = ok & jnp.all(Gy >= data.h[None] - feastol, axis=1)
@@ -256,6 +258,11 @@ class SDPInterface:
         self.stat_npenalty = 0
         self.stat_nprobes = 0
         self.stat_nunsolved = 0
+        self.stat_nonevar = 0   # instances decided by the one-var solver
+        #                         (sdpi.c:3301-3381 special case)
+        self.stat_nveri_resolve = 0  # feastol-tightened re-solve rungs
+        #                              after an independent-check failure
+        #                              (INFEASFEASTOLCHANGE role)
 
     # -- helpers -----------------------------------------------------------
 
@@ -297,7 +304,7 @@ class SDPInterface:
     _ip_point = None
 
     def _run(self, b, lb, ub, cuts=None, warm_y=None, warm_mask=None,
-             f32=False, gaptol=None, warm_X=None):
+             f32=False, gaptol=None, warm_X=None, feastol_vec=None):
         """One batched solve through the SINGLE fused executable.
 
         Every recovery-ladder rung reuses the fused solve+rounding graph
@@ -319,7 +326,9 @@ class SDPInterface:
                                    self._put(ub), key, *cargs,
                                    self._put(warm_y), warm_mask,
                                    self._put(np.asarray(gaptol)),
-                                   warm_X, self._ip_point)
+                                   warm_X, self._ip_point,
+                                   (None if feastol_vec is None
+                                    else self._put(np.asarray(feastol_vec))))
         return out
 
     def conflict_cuts(self, res: "BatchSolveResult"):
@@ -361,6 +370,140 @@ class SDPInterface:
             g += xlp @ G[:, : self.m]
             lhs += xlp @ h
         return g, lhs
+
+    def _onevar_prepass(self, lb, ub, bmat, cuts):
+        """One-active-variable fast path (sdpi.c:3301-3381): instances
+        whose box leaves exactly one variable free are decided exactly by
+        the special solver (ops/onevar.py) — LP/cut rows fold into bounds
+        on the free variable, each block contributes a feasible interval,
+        and the optimum sits at an interval endpoint.  Returns
+        (lb', ub', decided) where decided maps instance -> (status,
+        objval, y, cert) and decided instances carry a conflict box so the
+        batched IPM retires them at the presolve rung (0 iterations).
+
+        ``cert``: optional (block k, eigenvector v) — the active/violated
+        eigenvector certificate, placed into the returned primal X so
+        conflict-cut aggregation (computeConflictCut, relax_sdp.c:954)
+        sees the supporting rank-1 witness."""
+        from scipsdp_tpu.ops.onevar import (_lam_min_vec, feasible_interval,
+                                            solve_one_var_sdp)
+        ipms = self.settings.ipm
+        feastol = ipms.feastol
+        epsfix = max(ipms.epsilon, 1e-12)
+        B, m = lb.shape
+        dense = self.dense
+        decided = {}
+        free_all = (ub - lb) > epsfix
+        nfree = free_all.sum(axis=1)
+        cand = np.where((nfree == 1) & ~(lb > ub + feastol).any(axis=1))[0]
+        if cand.size == 0:
+            return lb, ub, decided
+        lb2, ub2 = lb.copy(), ub.copy()
+        for i in cand:
+            j = int(np.argmax(free_all[i]))
+            fixval = 0.5 * (lb[i] + ub[i])
+            fixval[j] = 0.0
+            glo, ghi = float(lb[i, j]), float(ub[i, j])
+            infeas = False
+            # fold rows (static LP rows ++ this node's valid cut rows)
+            rows = [(dense.G, dense.h)]
+            if cuts is not None:
+                Gc, hc, cval = cuts
+                vrows = np.asarray(cval[i], bool)
+                if vrows.any():
+                    rows.append((np.asarray(Gc[i])[vrows, :m],
+                                 np.asarray(hc[i])[vrows]))
+            for Gr, hr in rows:
+                if Gr.shape[0] == 0:
+                    continue
+                const = Gr[:, :m] @ fixval
+                gj = Gr[:, j]
+                inert = np.abs(gj) < 1e-14
+                if np.any(inert & (const < hr - feastol)):
+                    infeas = True
+                    break
+                pos = gj > 1e-14
+                neg = gj < -1e-14
+                if pos.any():
+                    glo = max(glo, float(np.max(
+                        (hr[pos] - const[pos]) / gj[pos])))
+                if neg.any():
+                    ghi = min(ghi, float(np.min(
+                        (hr[neg] - const[neg]) / gj[neg])))
+            cert = None
+            if not infeas and glo > ghi + feastol:
+                infeas = True
+            if not infeas:
+                for k in range(dense.nblocks):
+                    nk = int(dense.blocksizes[k])
+                    Aj = dense.A[k][j][:nk, :nk]
+                    Ceff = (dense.C[k][:nk, :nk]
+                            - np.einsum("m,mab->ab", fixval,
+                                        dense.A[k][:, :nk, :nk]))
+                    iv = feasible_interval(Aj, Ceff, glo, ghi, feastol)
+                    if iv is None:
+                        stat, _, c_inf = solve_one_var_sdp(
+                            Aj, Ceff, 0.0, glo, ghi, feastol,
+                            with_certificate=True)
+                        cert = (k, c_inf.eigvec)
+                        infeas = True
+                        break
+                    lft, rgt = iv
+                    if lft > glo + 1e-12 * max(1.0, abs(lft)):
+                        glo = lft
+                        cert = (k, _lam_min_vec(lft, Aj, Ceff)[1])
+                    if rgt < ghi - 1e-12 * max(1.0, abs(rgt)):
+                        ghi = rgt
+                        cert = (k, _lam_min_vec(rgt, Aj, Ceff)[1])
+                    if glo > ghi + feastol:
+                        infeas = True
+                        break
+            if infeas:
+                decided[int(i)] = (int(SolverResultStatus.INFEASIBLE),
+                                   np.inf, np.zeros(m), cert)
+            else:
+                c = float(bmat[i, j])
+                if c > 0:
+                    ystar = glo
+                elif c < 0:
+                    ystar = ghi
+                else:
+                    ystar = glo if np.isfinite(glo) else (
+                        ghi if np.isfinite(ghi) else 0.0)
+                if not np.isfinite(ystar):
+                    decided[int(i)] = (int(SolverResultStatus.UNBOUNDED),
+                                       -np.inf, np.zeros(m), None)
+                else:
+                    yfull = fixval.copy()
+                    yfull[j] = ystar
+                    objval = float(bmat[i, :m] @ yfull)
+                    decided[int(i)] = (int(SolverResultStatus.OPTIMAL),
+                                       objval, yfull, cert)
+            # conflict box: the IPM retires the slot at the presolve rung
+            lb2[i, :] = lb[i]
+            ub2[i, :] = ub[i]
+            lb2[i, j] = 1.0
+            ub2[i, j] = 0.0
+            self.stat_nonevar += 1
+        return lb2, ub2, decided
+
+    def _apply_onevar(self, decided, status, objval, y, X, xl, xlb, xub):
+        """Overwrite the dispatch outputs with the one-var decisions."""
+        for i, (st, ov, yi, cert) in decided.items():
+            status[i] = st
+            objval[i] = ov
+            y[i] = yi
+            xl[i] = 0.0
+            xlb[i] = 0.0
+            xub[i] = 0.0
+            for t in range(len(X)):
+                X[t][i] = 0.0
+            if cert is not None:
+                k, v = cert
+                if v is not None:
+                    t, slot = self.data.block_of[k]
+                    nk = v.shape[0]
+                    X[t][i, slot, :nk, :nk] = np.outer(v, v)
 
     # -- main entry --------------------------------------------------------
 
@@ -409,10 +552,14 @@ class SDPInterface:
                 [Gc, np.ones((B, Gc.shape[1], 1))], axis=2)
             cuts = (Gc, hc, cval)
 
+        # one-active-variable fast path (sdpi.c:3301-3381): decided
+        # exactly on the host, masked out of the IPM with a conflict box
+        lb_eff, ub_eff, onevar = self._onevar_prepass(lb, ub, bmat, cuts)
+
         # rung 1: direct solve, r fixed at 0 (optionally fused with the
         # rounding heuristics in a single device dispatch)
-        lbx = self._extend(lb, 0.0)
-        ubx = self._extend(ub, 0.0)
+        lbx = self._extend(lb_eff, 0.0)
+        ubx = self._extend(ub_eff, 0.0)
         round_y = round_feas = round_val = None
         wy = wm = wX = None
         if warm is not None:
@@ -467,6 +614,8 @@ class SDPInterface:
         nsolves = 1
         npenalty = 0
         out_tier = np.full((B, 2), np.nan)
+        if onevar:
+            self._apply_onevar(onevar, status, objval, y, X, xl, xlb, xub)
 
         failed = np.isin(status, _UNSOLVED_CODES)
         live = ~(lb > ub).any(axis=1)    # dummy slots don't count
@@ -621,6 +770,44 @@ class SDPInterface:
             xl[recovered] = np.asarray(outb.xl)[recovered]
             xlb[recovered] = np.asarray(outb.xlb)[recovered, :m]
             xub[recovered] = np.asarray(outb.xub)[recovered, :m]
+
+        # independent solution verification + feastol-tightened re-solve
+        # (sdpsolchecker.c:58 contract; INFEASFEASTOLCHANGE re-solve loop,
+        # sdpisolver_dsdp.c:66,1549): a "converged" instance whose returned
+        # y fails the independent feastol check is re-solved with the
+        # CONVERGENCE feastol tightened 10x (traced — no recompile), and
+        # only declared FAILED when even the tightened solves cannot
+        # produce a verifiable solution.
+        optm = (status == int(SolverResultStatus.OPTIMAL)) & live
+        if optm.any():
+            from scipsdp_tpu.core.feascheck import check_points
+            okv = np.asarray(check_points(self.data, self._put(y),
+                                          self._put(lb), self._put(ub),
+                                          feastol=float(feastol))[0])
+            bad = optm & ~okv
+            ft = feastol
+            while bad.any() and ft > 1e-9 and not out_of_time():
+                ft *= 0.1
+                self.stat_nveri_resolve += 1
+                lbq, ubq = self._mask_decided(lbx, ubx, bad)
+                outv = self._run(bmat, lbq, ubq, cuts,
+                                 feastol_vec=np.full(B, ft))
+                nsolves += 1
+                vstat = np.asarray(outv.status)
+                take = bad & (vstat == int(SolverResultStatus.OPTIMAL))
+                if take.any():
+                    objval[take] = np.asarray(outv.dobj)[take]
+                    y[take] = np.asarray(outv.y)[take, :m]
+                    for t in range(len(X)):
+                        X[t][take] = np.asarray(outv.X[t])[take]
+                    xl[take] = np.asarray(outv.xl)[take]
+                    xlb[take] = np.asarray(outv.xlb)[take, :m]
+                    xub[take] = np.asarray(outv.xub)[take, :m]
+                    okv = np.asarray(check_points(
+                        self.data, self._put(y), self._put(lb),
+                        self._put(ub), feastol=float(feastol))[0])
+                    bad = bad & ~(take & okv)
+            status[bad] = int(SolverResultStatus.FAILED)
 
         if out_of_time():
             # ladder was cut short by the per-solve budget: undecided

@@ -158,7 +158,10 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
     def psd_feasible(data, yc):
         """Batched feasibility of points: Z(y) + feastol*I PSD (Cholesky
         probe — same decision as the lambda_min >= -feastol check,
-        cons_sdp.c:672, without an eigendecomposition) + LP rows."""
+        cons_sdp.c:672, without an eigendecomposition) + LP rows.  The
+        probe factorization runs in f32 (the +feastol*I shift dwarfs f32
+        rounding at these scales; emulated-f64 Cholesky is ~26x the
+        cost); Z itself is assembled in f64."""
         yx = jnp.concatenate([yc, jnp.zeros((yc.shape[0], 1), yc.dtype)],
                              axis=1)
         ok = jnp.ones((yc.shape[0],), bool)
@@ -168,7 +171,7 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
             outer = dm[:, :, None] & dm[:, None, :]
             eye = jnp.eye(Z.shape[-1], dtype=Z.dtype)
             Zs = jnp.where(outer[None], Z + feastol * eye, eye)
-            L = jnp.linalg.cholesky(Zs)
+            L = jnp.linalg.cholesky(Zs.astype(jnp.float32))
             ok = ok & ~jnp.any(jnp.isnan(L), axis=(1, 2, 3))
         Gy = jnp.einsum("pm,xm->xp", data.G, yx)
         ok = ok & jnp.all(Gy >= data.h[None] - feastol, axis=1)

@@ -323,6 +323,10 @@ class IPMState(NamedTuple):
     failed: jnp.ndarray     # (B,)
     best_merit: jnp.ndarray  # (B,) best progress merit seen
     stall: jnp.ndarray       # (B,) iterations without progress
+    nan32: jnp.ndarray       # (B,) f32/refine direction NaN'd: instance
+    #                          is NOT failed — the precision pick escapes
+    #                          to the f64 branch instead (per-solve tier
+    #                          escalation, sdpisolver_sdpa.cpp:1416-1441)
 
 
 class SolveOutput(NamedTuple):
@@ -369,6 +373,12 @@ def ipm_solve(
     #                                  the projected parent point with them
     #                                  instead of the scaled identity
     #                                  (relax_sdp.c:2820-2945,5589)
+    feastol_vec: jnp.ndarray = None,  # (B,) per-instance CONVERGENCE
+    #                                  feastol override — the
+    #                                  feastol-tightened re-solve rung
+    #                                  after an independent solution-check
+    #                                  failure (INFEASFEASTOLCHANGE,
+    #                                  sdpisolver_dsdp.c:66,1549)
     *,
     settings: IPMSettings,
 ) -> SolveOutput:
@@ -534,6 +544,7 @@ def ipm_solve(
         converged=jnp.zeros((B,), bool), failed=jnp.zeros((B,), bool),
         best_merit=jnp.full((B,), jnp.inf, dtype),
         stall=jnp.zeros((B,), jnp.int32),
+        nan32=jnp.zeros((B,), bool),
     )
 
     cmax = bmap(lambda t: jnp.max(jnp.abs(data.C[t])))
@@ -545,8 +556,15 @@ def ipm_solve(
     # active instance's relative gap is above phase32_switch, all O(n^3)
     # direction kernels run in f32 against the exact f64 residuals
     # (inexact Newton); the endgame runs full f64.  The f32 shadow of the
-    # static data is cast once, outside the loop.
-    use_phase32 = settings.phase32 == "on" and dtype == jnp.float64
+    # static data is cast once, outside the loop.  "refine" additionally
+    # assembles RHS/recoveries in f64 and iteratively refines the Schur
+    # solve, pushing the f64 handoff from phase32_switch (1e-3) down to
+    # refine_switch (3e-5) — on TPU f64 is software-emulated and ~26x the
+    # cost of f32, so every iteration moved out of the endgame counts.
+    use_refine = settings.phase32 == "refine" and dtype == jnp.float64
+    use_lite = settings.phase32 == "lite" and dtype == jnp.float64
+    use_phase32 = (settings.phase32 == "on" and dtype == jnp.float64) \
+        or use_refine or use_lite
     if use_phase32:
         A32 = bmap(lambda t: data.A[t].astype(jnp.float32))
         G32 = Gall.astype(jnp.float32)
@@ -623,8 +641,10 @@ def ipm_solve(
         dualgap = jnp.abs(dobj - pobj) / (
             1.0 + jnp.maximum(jnp.abs(dobj), jnp.abs(pobj))
         )
+        ftv = (feastol if feastol_vec is None
+               else feastol_vec.astype(pinf.dtype))
         conv = (
-            (pinf <= feastol) & (dinf <= feastol)
+            (pinf <= ftv) & (dinf <= ftv)
             & (relgap <= gaptol) & (dualgap <= 10.0 * gaptol)
         )
         return EvalOut(Rp=Rp, rpl=rpl, rplb=rplb, rpub=rpub, rd=rd, gap=gap,
@@ -717,9 +737,49 @@ def ipm_solve(
             settings.chol_reg, 1e-9)
         reg = chol_reg * (1.0 + jnp.max(jnp.abs(M), axis=(1, 2)))
         M = M + reg[:, None, None] * eye_mp[None]
-        Lm = _chol(M, settings)
-        Lminv = _tril_inv(Lm, settings)
-        Minv = jnp.einsum("xba,xbc->xac", Lminv, Lminv)    # Lm^{-T} Lm^{-1}
+        if f32:
+            # Jacobi equilibration: near convergence the Schur diagonal
+            # spans many orders of magnitude (diverging bound
+            # multipliers); cond(D M D) << cond(M) is what lets the f32
+            # factorization carry the solve far below the 1e-3 wall
+            dM = jnp.maximum(jnp.einsum("xii->xi", M), 1e-30)
+            dsc = 1.0 / jnp.sqrt(dM)
+            Ms = M * dsc[:, :, None] * dsc[:, None, :]
+            Lm = _chol(Ms, settings)
+            Lminv = _tril_inv(Lm, settings)
+            Minv = (jnp.einsum("xba,xbc->xac", Lminv, Lminv)
+                    * dsc[:, :, None] * dsc[:, None, :])
+        else:
+            Lm = _chol(M, settings)
+            Lminv = _tril_inv(Lm, settings)
+            Minv = jnp.einsum("xba,xbc->xac", Lminv, Lminv)  # Lm^-T Lm^-1
+
+        lite = f32 and settings.phase32 == "lite"
+        if lite:
+            # "lite" refinement: f32 assembly throughout, but the Schur
+            # back-solve is polished by f64 residual passes against the
+            # exact Gram of the f32 features (f64 matvecs only — the
+            # cheap slice of the full "refine" branch)
+            f64 = jnp.float64
+            Wall64 = Wall.astype(f64)
+            diag64 = (wlb + wub).astype(f64)
+            reg64 = reg.astype(f64)
+
+        def solve_dy(rhs):
+            dy = jnp.einsum("xij,xj->xi", Minv, rhs)
+            if not lite:
+                return dy
+            rhs64 = jnp.where(pre.fix, 0.0, rhs.astype(jnp.float64))
+            dy = dy.astype(jnp.float64)
+            for _ in range(max(int(settings.schur_refine), 0)):
+                vf = jnp.where(pre.fix, 0.0, dy)
+                wt = jnp.einsum("xif,xi->xf", Wall64, vf)
+                u = (jnp.einsum("xif,xf->xi", Wall64, wt)
+                     + diag64 * vf + reg64[:, None] * vf)
+                r = rhs64 - jnp.where(pre.fix, 0.0, u)
+                dy = dy + jnp.einsum("xij,xj->xi", Minv,
+                                     r.astype(dtp)).astype(jnp.float64)
+            return jnp.where(pre.fix, 0.0, dy).astype(dtp)
 
         def direction(Rc, rcl, rclb, rcub):
             PsiSinv = bmap(lambda t: jnp.einsum(
@@ -737,7 +797,7 @@ def ipm_solve(
                 - rd
             )
             rhs = jnp.where(pre.fix, 0.0, rhs)
-            dy = jnp.einsum("xij,xj->xi", Minv, rhs)
+            dy = solve_dy(rhs)
             dS = bmap(lambda t: jnp.where(
                 pad_outer[t],
                 jnp.einsum("kjab,xj->xkab", Ad[t], dy) + Rp[t],
@@ -882,6 +942,347 @@ def ipm_solve(
                 up(dxl), up(dsl), up(dxlb), up(dslb), up(dxub), up(dsub),
                 up(ap), up(ad))
 
+    def iter_products_refine(st: IPMState, ev: EvalOut):
+        """f32-factorization / f64-assembly Mehrotra pass ("refine" mode).
+
+        Factor-class kernels (Cholesky, triangular inverse, W features,
+        Schur Gram, step-rule congruences/probes) run in f32 — on TPU each
+        is ~26x cheaper than its emulated-f64 twin.  Everything whose
+        ACCURACY the Newton step depends on near convergence stays f64:
+        the corrector targets (X S products at size ~mu), the RHS built
+        from the carried f64 residuals, the dS/dX recoveries, and the
+        Schur solve — refined to f64 accuracy by ``schur_refine`` passes
+        of (f64 residual matvec -> f32 back-solve) against the f32
+        feature Gram + regularization, i.e. classical mixed-precision
+        iterative refinement with the f32 factor as preconditioner."""
+        f32 = jnp.float32
+        with jax.default_matmul_precision("float32"):
+            X32 = bmap(lambda t: st.X[t].astype(f32))
+            S32 = bmap(lambda t: st.S[t].astype(f32))
+
+            def chol_inv(t):
+                Kt = X32[t].shape[1]
+                both = jnp.concatenate([X32[t], S32[t]], axis=1)
+                L = _chol(both, settings)
+                Linv = _tril_inv(L, settings)
+                return (Linv[:, :Kt], Linv[:, Kt:])
+
+            LXS = bmap(chol_inv)
+            Lxinv = tuple(v[0] for v in LXS)
+            Lsinv = tuple(v[1] for v in LXS)
+            Sinv64 = bmap(lambda t: sym(jnp.einsum(
+                "xkba,xkbc->xkac", Lsinv[t], Lsinv[t])).astype(dtype))
+
+            # W features + Schur Gram in f32 (the FLOP-heavy kernels)
+            def wfeat(t):
+                # Lx^T A_j Ls^{-T}: Lx = inv(Lxinv), but only the PRODUCT
+                # matters; use Lxinv^{-1} implicitly via X32 = Lx Lx^T:
+                # W_j = Lx^T A_j Ls^{-T} and M_ij = <W_i, W_j> equals
+                # tr(A_i X A_j S^{-1}); compute via X32 A_j Ls^{-T} paired
+                # against Ls^{-1} A_i ... instead keep the round-2 form:
+                # P = Lx^T A_j, needing Lx.  Recover Lx from Lxinv by one
+                # triangular inverse?  Cheaper: W'_j = Lxinv X32 A_j
+                # Ls^{-T} = Lx^T A_j Ls^{-T} exactly (Lxinv X = Lx^T).
+                LxT = jnp.einsum("xkab,xkbc->xkac", Lxinv[t], X32[t])
+                P = jnp.einsum("xkab,kjbc->xkjac", LxT, A32[t])
+                W = jnp.einsum("xkjab,xkcb->xkjac", P, Lsinv[t])
+                return jnp.transpose(W, (0, 2, 1, 3, 4)).reshape(B, mp, -1)
+
+            wl64 = jnp.where(pre.rowmask, st.xl / st.sl, 0.0)
+            wlb64 = jnp.where(pre.lbmask, st.xlb / st.slb, 0.0)
+            wub64 = jnp.where(pre.ubmask, st.xub / st.sub, 0.0)
+            Wg = jnp.sqrt(wl64).astype(f32)[:, :, None] * G32
+            Wall = jnp.concatenate(
+                list(bmap(wfeat)) + [jnp.swapaxes(Wg, 1, 2)], axis=2)
+            M = _schur_product(Wall, settings)
+            eye_mp32 = jnp.eye(mp, dtype=f32)
+            M = M + (wlb64 + wub64).astype(f32)[:, :, None] * eye_mp32[None]
+            M = jnp.where(free_outer, M, 0.0)
+            M = M + (pre.fix.astype(f32))[:, :, None] * eye_mp32[None]
+            # f32-safe regularization: the factor is only a preconditioner
+            # (the refinement target includes the same shift, so the
+            # system actually solved is the proximally-regularized Newton
+            # system — standard for IPM Schur complements)
+            reg32 = max(settings.chol_reg, 1e-7)
+            reg = reg32 * (1.0 + jnp.max(jnp.abs(M), axis=(1, 2)))
+            M = M + reg[:, None, None] * eye_mp32[None]
+            # Jacobi equilibration before the f32 factorization: near
+            # convergence the Schur diagonal spans many orders of
+            # magnitude (diverging bound multipliers), and cond(D M D)
+            # << cond(M) is what keeps the f32-preconditioned refinement
+            # contracting
+            dM = jnp.maximum(jnp.einsum("xii->xi", M), 1e-30)
+            dsc = 1.0 / jnp.sqrt(dM)
+            Ms = M * dsc[:, :, None] * dsc[:, None, :]
+            Lm = _chol(Ms, settings)
+            Lminv = _tril_inv(Lm, settings)
+            Minv = jnp.einsum("xba,xbc->xac", Lminv, Lminv)
+            dsc64 = dsc.astype(dtype)
+
+            Wall64 = Wall.astype(dtype)
+            diag64 = wlb64 + wub64
+            reg64 = reg.astype(dtype)
+
+            def precond(r64):
+                """f32 back-solve through the equilibrated factor."""
+                v = (dsc64 * r64).astype(f32)
+                u = jnp.einsum("xij,xj->xi", Minv, v).astype(dtype)
+                return dsc64 * u
+
+            def schur_solve(rhs):
+                """(M_tilde + reg I) dy = rhs to f64 accuracy: f32
+                preconditioned solve + f64 residual refinement against the
+                exact Gram of the f32 features."""
+                rhsf = jnp.where(pre.fix, 0.0, rhs)
+                dy = precond(rhsf)
+                for _ in range(max(int(settings.schur_refine), 0)):
+                    vf = jnp.where(pre.fix, 0.0, dy)
+                    wt = jnp.einsum("xif,xi->xf", Wall64, vf)
+                    u = (jnp.einsum("xif,xf->xi", Wall64, wt)
+                         + diag64 * vf + reg64[:, None] * vf)
+                    r = rhsf - jnp.where(pre.fix, 0.0, u)
+                    dy = dy + precond(r)
+                return jnp.where(pre.fix, 0.0, dy)
+
+            def direction(Rc, rcl, rclb, rcub):
+                """Newton direction with f64 assembly/recovery (inputs and
+                outputs f64; only the Schur back-solve passes through
+                f32)."""
+                PsiSinv = bmap(lambda t: jnp.einsum(
+                    "xkab,xkbc->xkac",
+                    Rc[t] - jnp.einsum("xkab,xkbc->xkac", st.X[t],
+                                       ev.Rp[t]),
+                    Sinv64[t]))
+                rhs = (
+                    bsum(bmap(lambda t: jnp.einsum(
+                        "kjab,xkba->xj", data.A[t], PsiSinv[t])))
+                    + jnp.einsum("xpm,xp->xm", Gall,
+                                 jnp.where(pre.rowmask,
+                                           (rcl - st.xl * ev.rpl) / st.sl,
+                                           0.0))
+                    + jnp.where(pre.lbmask,
+                                (rclb - st.xlb * ev.rplb) / st.slb, 0.0)
+                    - jnp.where(pre.ubmask,
+                                (rcub - st.xub * ev.rpub) / st.sub, 0.0)
+                    - ev.rd
+                )
+                dy = schur_solve(jnp.where(pre.fix, 0.0, rhs))
+                dS = bmap(lambda t: jnp.where(
+                    pad_outer[t],
+                    jnp.einsum("kjab,xj->xkab", data.A[t], dy) + ev.Rp[t],
+                    0.0))
+                dsl = jnp.where(pre.rowmask,
+                                jnp.einsum("xpm,xm->xp", Gall, dy)
+                                + ev.rpl, 0.0)
+                dslb = jnp.where(pre.lbmask, dy + ev.rplb, 0.0)
+                dsub = jnp.where(pre.ubmask, -dy + ev.rpub, 0.0)
+                # dX recovery stays f64: an f32 recovery was measured to
+                # break convergence across the testset (the recovered
+                # primal must track the size-mu complementarity targets)
+                dX = bmap(lambda t: jnp.where(pad_outer[t], sym(jnp.einsum(
+                    "xkab,xkbc->xkac",
+                    Rc[t] - jnp.einsum("xkab,xkbc->xkac", st.X[t], dS[t]),
+                    Sinv64[t])), 0.0))
+                dxl = jnp.where(pre.rowmask, (rcl - st.xl * dsl) / st.sl,
+                                0.0)
+                dxlb = jnp.where(pre.lbmask,
+                                 (rclb - st.xlb * dslb) / st.slb, 0.0)
+                dxub = jnp.where(pre.ubmask,
+                                 (rcub - st.xub * dsub) / st.sub, 0.0)
+                return dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub
+
+            if settings.step_rule == "power":
+                psd_ymat_step = max_step_from_ymat
+            elif settings.step_rule == "gershgorin":
+                psd_ymat_step = gersh_step_from_ymat
+            else:
+                psd_ymat_step = max_step_eigh_from_ymat
+
+            def psd_steps(dX, dS, step_fn):
+                """f32 congruence transforms + step rule (errors only cost
+                slight step conservatism; tau and the probes guard)."""
+                apv, adv = [], []
+                for t in range(NB):
+                    Yb = ymat(jnp.concatenate([Lxinv[t], Lsinv[t]], axis=1),
+                              jnp.concatenate([dX[t].astype(f32),
+                                               dS[t].astype(f32)], axis=1))
+                    stp = step_fn(Yb)
+                    Kt = dX[t].shape[1]
+                    apv.append(jnp.min(stp[:, :Kt], axis=1))
+                    adv.append(jnp.min(stp[:, Kt:], axis=1))
+                return (jnp.min(jnp.stack(apv), axis=0).astype(dtype),
+                        jnp.min(jnp.stack(adv), axis=0).astype(dtype))
+
+            def steplens(dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub, step_fn):
+                ap, ad = psd_steps(dX, dS, step_fn)
+                ap = jnp.minimum(ap, max_step_pos(st.xl, dxl, pre.rowmask))
+                ap = jnp.minimum(ap, max_step_pos(st.xlb, dxlb, pre.lbmask))
+                ap = jnp.minimum(ap, max_step_pos(st.xub, dxub, pre.ubmask))
+                ad = jnp.minimum(ad, max_step_pos(st.sl, dsl, pre.rowmask))
+                ad = jnp.minimum(ad, max_step_pos(st.slb, dslb,
+                                                  pre.lbmask))
+                ad = jnp.minimum(ad, max_step_pos(st.sub, dsub,
+                                                  pre.ubmask))
+                return ap, ad
+
+            XS = bmap(lambda t: jnp.einsum("xkab,xkbc->xkac", st.X[t],
+                                           st.S[t]))
+            Rc_a = bmap(lambda t: jnp.where(pad_outer[t], -XS[t], 0.0))
+            rcl_a = jnp.where(pre.rowmask, -st.xl * st.sl, 0.0)
+            rclb_a = jnp.where(pre.lbmask, -st.xlb * st.slb, 0.0)
+            rcub_a = jnp.where(pre.ubmask, -st.xub * st.sub, 0.0)
+            da = direction(Rc_a, rcl_a, rclb_a, rcub_a)
+            (dy_a, dX_a, dS_a, dxl_a, dsl_a, dxlb_a, dslb_a, dxub_a,
+             dsub_a) = da
+            ap_a, ad_a = steplens(dX_a, dS_a, dxl_a, dsl_a, dxlb_a,
+                                  dslb_a, dxub_a, dsub_a,
+                                  gersh_step_from_ymat)
+            ap_a = jnp.minimum(ap_a, 1.0)
+            ad_a = jnp.minimum(ad_a, 1.0)
+
+            apx = ap_a[:, None, None, None]
+            adx = ad_a[:, None, None, None]
+            gap = ev.gap
+            mu = ev.gap / nu
+            gap_sdp_a = bsum(bmap(lambda t: jnp.sum(jnp.where(
+                pad_outer[t],
+                (st.X[t] + apx * dX_a[t]) * (st.S[t] + adx * dS_a[t]),
+                0.0), axis=(1, 2, 3))))
+            gap_a = (
+                gap_sdp_a
+                + jnp.sum(jnp.where(pre.rowmask,
+                                    (st.xl + ap_a[:, None] * dxl_a)
+                                    * (st.sl + ad_a[:, None] * dsl_a),
+                                    0.0), axis=1)
+                + jnp.sum(jnp.where(pre.lbmask,
+                                    (st.xlb + ap_a[:, None] * dxlb_a)
+                                    * (st.slb + ad_a[:, None] * dslb_a),
+                                    0.0), axis=1)
+                + jnp.sum(jnp.where(pre.ubmask,
+                                    (st.xub + ap_a[:, None] * dxub_a)
+                                    * (st.sub + ad_a[:, None] * dsub_a),
+                                    0.0), axis=1)
+            )
+            sigma = jnp.clip(
+                (jnp.maximum(gap_a, 0.0) / jnp.maximum(gap, 1e-30)) ** 3,
+                settings.sigma_min, 1.0)
+
+            smu = (sigma * mu)[:, None, None, None]
+            Rc_c = bmap(lambda t: jnp.where(
+                pad_outer[t],
+                smu * eye_active[t] - XS[t]
+                - jnp.einsum("xkab,xkbc->xkac", dX_a[t], dS_a[t]),
+                0.0))
+            rcl_c = jnp.where(pre.rowmask,
+                              sigma[:, None] * mu[:, None] - st.xl * st.sl
+                              - dxl_a * dsl_a, 0.0)
+            rclb_c = jnp.where(pre.lbmask,
+                               sigma[:, None] * mu[:, None]
+                               - st.xlb * st.slb - dxlb_a * dslb_a, 0.0)
+            rcub_c = jnp.where(pre.ubmask,
+                               sigma[:, None] * mu[:, None]
+                               - st.xub * st.sub - dxub_a * dsub_a, 0.0)
+            dc = direction(Rc_c, rcl_c, rclb_c, rcub_c)
+            dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub = dc
+            ap, ad = steplens(dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub,
+                              psd_ymat_step)
+            ap = jnp.minimum(settings.tau * ap, 1.0)
+            ad = jnp.minimum(settings.tau * ad, 1.0)
+
+            # Gondzio multiple centrality correctors: reuse the factored
+            # Schur complement to pull outlier complementarity products
+            # toward [beta_min, beta_max] * sigma*mu, accepting per
+            # instance only when the step lengths actually improve
+            # (Gondzio 1996; each extra corrector costs one direction()
+            # — einsums only, no new factorization)
+            for _ in range(max(int(settings.gondzio), 0)):
+                aptv = jnp.minimum(ap + 0.1, 1.0)
+                adtv = jnp.minimum(ad + 0.1, 1.0)
+                apt = aptv[:, None, None, None]
+                adt = adtv[:, None, None, None]
+                tgt = (sigma * mu)
+                bmin, bmax = 0.1, 10.0
+
+                def cor_term(prod, lo, hi):
+                    return jnp.clip(prod, lo, hi) - prod
+
+                Rc_g = bmap(lambda t: jnp.where(
+                    pad_outer[t],
+                    # trial-point complementarity, symmetrized target
+                    cor_term(jnp.einsum(
+                        "xkab,xkbc->xkac",
+                        st.X[t] + apt * dX[t], st.S[t] + adt * dS[t]),
+                        (bmin * tgt)[:, None, None, None]
+                        * eye_active[t],
+                        (bmax * tgt)[:, None, None, None]
+                        * eye_active[t]),
+                    0.0))
+                trial_l = (st.xl + aptv[:, None] * dxl) \
+                    * (st.sl + adtv[:, None] * dsl)
+                rcl_g = jnp.where(pre.rowmask, cor_term(
+                    trial_l, bmin * tgt[:, None], bmax * tgt[:, None]),
+                    0.0)
+                trial_lb = (st.xlb + aptv[:, None] * dxlb) \
+                    * (st.slb + adtv[:, None] * dslb)
+                rclb_g = jnp.where(pre.lbmask, cor_term(
+                    trial_lb, bmin * tgt[:, None], bmax * tgt[:, None]),
+                    0.0)
+                trial_ub = (st.xub + aptv[:, None] * dxub) \
+                    * (st.sub + adtv[:, None] * dsub)
+                rcub_g = jnp.where(pre.ubmask, cor_term(
+                    trial_ub, bmin * tgt[:, None], bmax * tgt[:, None]),
+                    0.0)
+                dg = direction(Rc_g, rcl_g, rclb_g, rcub_g)
+                cur = (dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub)
+                cand = tuple(
+                    jax.tree_util.tree_map(lambda a, b: a + b, x, g)
+                    for x, g in zip(cur, dg))
+                (dy2, dX2, dS2, dxl2, dsl2, dxlb2, dslb2, dxub2,
+                 dsub2) = cand
+                ap2, ad2 = steplens(dX2, dS2, dxl2, dsl2, dxlb2, dslb2,
+                                    dxub2, dsub2, psd_ymat_step)
+                ap2 = jnp.minimum(settings.tau * ap2, 1.0)
+                ad2 = jnp.minimum(settings.tau * ad2, 1.0)
+                acc = (ap2 + ad2) >= (ap + ad) + 0.05
+                accx = acc[:, None, None, None]
+                accv = acc[:, None]
+
+                def pick(new, old, mask):
+                    return jnp.where(mask, new, old)
+
+                dy = pick(dy2, dy, accv)
+                dX = bmap(lambda t: pick(dX2[t], dX[t], accx))
+                dS = bmap(lambda t: pick(dS2[t], dS[t], accx))
+                dxl = pick(dxl2, dxl, accv)
+                dsl = pick(dsl2, dsl, accv)
+                dxlb = pick(dxlb2, dxlb, accv)
+                dslb = pick(dslb2, dslb, accv)
+                dxub = pick(dxub2, dxub, accv)
+                dsub = pick(dsub2, dsub, accv)
+                ap = jnp.where(acc, ap2, ap)
+                ad = jnp.where(acc, ad2, ad)
+
+            if settings.step_rule == "power":
+                # f32 Cholesky probes (same NaN semantics; only the step
+                # SAFETY depends on them, not accuracy)
+                for _ in range(2):
+                    okx = jnp.ones((B,), bool)
+                    oks = jnp.ones((B,), bool)
+                    for t in range(NB):
+                        Kt = dX[t].shape[1]
+                        probe = jnp.concatenate(
+                            [(st.X[t] + ap[:, None, None, None] * dX[t]),
+                             (st.S[t] + ad[:, None, None, None] * dS[t])],
+                            axis=1).astype(f32)
+                        Lp = jnp.linalg.cholesky(probe)
+                        nan_half = jnp.any(jnp.isnan(Lp), axis=(2, 3))
+                        okx = okx & ~jnp.any(nan_half[:, :Kt], axis=1)
+                        oks = oks & ~jnp.any(nan_half[:, Kt:], axis=1)
+                    ap = jnp.where(okx, ap, 0.4 * ap)
+                    ad = jnp.where(oks, ad, 0.4 * ad)
+
+            return (dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub, ap, ad)
+
     track_pre = settings.preopt_gap > 0.0
 
     def body(carry):
@@ -889,13 +1290,31 @@ def ipm_solve(
             st, ev, pre_c = carry
         else:
             st, ev = carry
-        if use_phase32:
-            # whole-batch precision pick: f32 only while EVERY active
-            # instance is still far from convergence (a near-converged
-            # instance needs f64-accurate directions)
-            use32 = jnp.all(jnp.where(~st.done,
-                                      ev.relgap > settings.phase32_switch,
-                                      True)) & ~jnp.all(st.done)
+        if use_refine:
+            # "refine" from the FIRST iteration (a plain-f32 warm tier was
+            # measured counterproductive: its weaker directions cost more
+            # refine iterations than they save); emulated f64 only below
+            # refine_switch (default 0 = never) or on the f32-NaN escape
+            active = ~st.done
+            use32 = (jnp.all(jnp.where(active,
+                                       ev.relgap > settings.refine_switch,
+                                       True))
+                     & ~jnp.all(st.done) & ~jnp.any(st.nan32 & active))
+            prods = jax.lax.cond(
+                use32,
+                lambda c: iter_products_refine(c[0], c[1]),
+                lambda c: iter_products(c[0], c[1], dtype),
+                (st, ev))
+        elif use_phase32:
+            # 2-tier: f32 only while EVERY active instance is still far
+            # from convergence (a near-converged instance needs
+            # f64-accurate directions)
+            switch = (settings.refine_switch if use_lite
+                      else settings.phase32_switch)
+            use32 = (jnp.all(jnp.where(~st.done,
+                                       ev.relgap > switch,
+                                       True)) & ~jnp.all(st.done)
+                     & ~jnp.any(st.nan32 & ~st.done))
             prods = jax.lax.cond(
                 use32,
                 lambda c: iter_products(c[0], c[1], jnp.float32),
@@ -909,7 +1328,16 @@ def ipm_solve(
         bad = jnp.any(jnp.isnan(dy), axis=1) | jnp.isnan(ap) | jnp.isnan(ad)
         for t in range(NB):
             bad = bad | jnp.any(jnp.isnan(dX[t]), axis=(1, 2, 3))
-        failed = st.failed | (bad & ~st.done)
+        if use_phase32:
+            # a NaN from the f32/refine branch is a PRECISION failure, not
+            # a solve failure: skip the update and escalate the batch to
+            # the f64 branch from the next iteration on
+            soft = bad & use32 & ~st.done
+            failed = st.failed | (bad & ~use32 & ~st.done)
+            nan32 = st.nan32 | soft
+        else:
+            failed = st.failed | (bad & ~st.done)
+            nan32 = st.nan32
         act = (~st.done) & ~bad
         # guarded updates (where, not multiply-by-zero: 0 * NaN = NaN
         # would poison frozen instances' states)
@@ -941,6 +1369,7 @@ def ipm_solve(
             failed=failed,
             best_merit=st.best_merit,
             stall=st.stall,
+            nan32=nan32,
         )
         ev_n = evaluate(new)
         conv = ev_n.conv
@@ -948,10 +1377,10 @@ def ipm_solve(
         # batch's wall clock (the while_loop runs until ALL are done) —
         # declare them failed early and let the recovery ladder handle them
         merit = ev_n.relgap + ev_n.pinf + ev_n.dinf
-        improved = merit < 0.8 * new.best_merit
+        improved = merit < settings.stall_factor * new.best_merit
         best_merit = jnp.where(improved, merit, new.best_merit)
         stall_cnt = jnp.where(improved | new.done, 0, new.stall + 1)
-        stalled = stall_cnt >= 15
+        stalled = stall_cnt >= settings.stall_window
         failed2 = new.failed | (stalled & ~new.done & ~conv)
         newly_conv = conv & ~new.done & ~failed2
         st_out = new._replace(

@@ -122,6 +122,63 @@ class OneVarCertificate(NamedTuple):
     lam: float
 
 
+def feasible_interval(A: np.ndarray, C: np.ndarray, lo: float, hi: float,
+                      feastol: float = 1e-6, tol: float = 1e-9):
+    """Feasible interval of {y in [lo, hi] : y*A - C >= 0} — possibly
+    empty (returns None).  lambda_min(yA - C) is concave in y, so the set
+    is an interval; endpoints located by bisection against the concave
+    maximizer (the interval form of SCIPsolveOneVarSDP, sdpi.c:3301-3381
+    intersects these across blocks)."""
+    lo_c = max(lo, -1e12)
+    hi_c = min(hi, 1e12)
+    if lo_c > hi_c:
+        return None
+    f_lo = _lam_min(lo_c, A, C)
+    f_hi = _lam_min(hi_c, A, C)
+    if f_lo < -feastol and f_hi < -feastol:
+        a, b = lo_c, hi_c
+        for _ in range(120):
+            m1 = a + 0.382 * (b - a)
+            m2 = a + 0.618 * (b - a)
+            if _lam_min(m1, A, C) < _lam_min(m2, A, C):
+                a = m1
+            else:
+                b = m2
+            if b - a < tol * max(1.0, abs(a)):
+                break
+        peak = 0.5 * (a + b)
+        if _lam_min(peak, A, C) < -feastol:
+            return None
+    else:
+        peak = lo_c if f_lo >= -feastol else hi_c
+
+    def bisect(lo_, hi_, increasing):
+        for _ in range(120):
+            mid = 0.5 * (lo_ + hi_)
+            if _lam_min(mid, A, C) >= -feastol:
+                if increasing:
+                    hi_ = mid
+                else:
+                    lo_ = mid
+            else:
+                if increasing:
+                    lo_ = mid
+                else:
+                    hi_ = mid
+            if hi_ - lo_ < tol * max(1.0, abs(hi_)):
+                break
+        return 0.5 * (lo_ + hi_)
+
+    left = lo_c if f_lo >= -feastol else bisect(lo_c, peak, True)
+    right = hi_c if f_hi >= -feastol else bisect(peak, hi_c, False)
+    # report true infinities when the box was unbounded and the end feasible
+    if lo <= -INF and f_lo >= -feastol:
+        left = -np.inf
+    if hi >= INF and f_hi >= -feastol:
+        right = np.inf
+    return (left, right)
+
+
 def solve_one_var_sdp(A: np.ndarray, C: np.ndarray, c: float,
                       lb: float, ub: float, feastol: float = 1e-6,
                       tol: float = 1e-9, with_certificate: bool = False):

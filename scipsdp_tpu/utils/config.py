@@ -66,6 +66,26 @@ class IPMSettings:
                                    # TPU, off for CPU (native f64; keeps
                                    # parity iteration counts)
     phase32_switch: float = 1e-3   # relative-gap handoff point
+    # phase32 = "refine": a 3-tier precision ladder — plain-f32
+    # directions while relgap > phase32_switch, then an f64-assembled
+    # phase whose equilibrated-f32 Schur solves are polished by f64
+    # residual refinement ("refine" proper) down to refine_switch, then
+    # emulated f64.  With the default refine_switch = 0 the refine tier
+    # carries the solve all the way to gaptol (measured: whole testset
+    # converges; emulated f64 only fires via the NaN escape).
+    # phase32 = "lite" (experimental): plain-f32 assembly + refined Schur
+    # solves only — cheaper but measured insufficient on CLS/MkP.
+    refine_switch: float = 0.0     # relative-gap f64 handoff for "refine"
+    schur_refine: int = 3          # f64 refinement passes on the Schur
+                                   # solve in "refine" mode (3 measured
+                                   # necessary for TT near convergence)
+    gondzio: int = 0               # extra Gondzio centrality correctors
+                                   # per iteration (reuse the factored
+                                   # Schur complement; 0 = plain Mehrotra)
+    # stall detection: declare FAILED after ``stall_window`` iterations
+    # without a ``stall_factor`` merit (relgap+pinf+dinf) improvement
+    stall_factor: float = 0.8
+    stall_window: int = 15
     tau: float = 0.95              # fraction-to-boundary step factor
     #   (an adaptive tau->0.98 tail rule was measured NET NEGATIVE:
     #   example_small 30->63 iterations with extra ladder rungs)
@@ -182,7 +202,22 @@ class BBSettings:
     # instances); "on" forces eligibility checks only; "off" disables
     turbo: str = "auto"
     turbo_capacity: int = 2048     # frontier slab slots (device HBM)
-    turbo_rounds: int = 8          # B&B rounds fused per device dispatch
+    turbo_rounds: int = 32         # B&B rounds fused per device dispatch
+                                   # (idle rounds are skipped by a scalar
+                                   # cond, so a finished tree costs
+                                   # nothing; each dispatch pays ~29 ms
+                                   # relay latency — fuse generously)
+    # LP-mode exact enforcement (constraints/SDP/enforcesdp,
+    # cons_sdp.c:8276-8423): when an integral LP solution stays
+    # SDP-infeasible after ``enforce_after`` separation rounds, solve the
+    # node's TRUE SDP — infeasible => exact cutoff; integral optimum =>
+    # node solved; fractional => adopt the exact bound and branch.  The
+    # reference defaults enforcesdp FALSE and relies on endless
+    # separation; here it is ON because it replaces an unsound requeue
+    # cap and kills the separation convergence tail.
+    enforcesdp: bool = True
+    enforce_after: int = 4         # separation requeues before the exact
+                                   # SDP probing solve
     slatercheck: int = 0           # per-node dual Slater accounting
                                    # (sdpi.c:197 slatercheck: 0 off,
                                    # 1 statistics, 2 statistics + print);
@@ -280,6 +315,10 @@ def resolve_backend_autos(settings: Settings) -> Settings:
     if ipm.step_rule == "auto":
         repl["step_rule"] = "eigh" if backend == "cpu" else "power"
     if ipm.phase32 == "auto":
-        repl["phase32"] = "off" if backend == "cpu" else "on"
+        # accelerators: "refine" keeps factorizations in f32 down to
+        # refine_switch with f64-refined Schur solves — measured 26.8 ms
+        # per emulated-f64 iteration vs 0.62 ms per f32-direction
+        # iteration on v5e (PERFORMANCE.md round 3)
+        repl["phase32"] = "off" if backend == "cpu" else "refine"
     return dataclasses.replace(
         settings, ipm=dataclasses.replace(ipm, **repl))

@@ -62,9 +62,28 @@ def format_relax_statistics(stats, iface=None) -> str:
             f"{stats.slater_fails} ({stats.slater_fails/nsl:.0%})")
         row("undecided",
             f"{stats.slater_undecided} ({stats.slater_undecided/nsl:.0%})")
+    nslp = (getattr(stats, "slater_primal_holds", 0)
+            + getattr(stats, "slater_primal_fails", 0)
+            + getattr(stats, "slater_primal_undecided", 0))
+    if nslp:
+        lines.append("Slater condition (primal, per node):")
+        row("holds", f"{stats.slater_primal_holds} "
+            f"({stats.slater_primal_holds/nslp:.0%})")
+        row("fails", f"{stats.slater_primal_fails} "
+            f"({stats.slater_primal_fails/nslp:.0%})")
+        row("undecided", f"{stats.slater_primal_undecided} "
+            f"({stats.slater_primal_undecided/nslp:.0%})")
+    if getattr(stats, "nenforce_sdp", 0):
+        row("LP-mode exact-SDP enforcements", stats.nenforce_sdp)
+    if getattr(stats, "ndropped_nodes", 0):
+        row("nodes dropped undecidable", stats.ndropped_nodes)
     if iface is not None:
         row("interface: total solves", iface.stat_nsolves)
         row("interface: feasibility probes", iface.stat_nprobes)
         row("interface: penalty successes", iface.stat_npenalty)
         row("interface: unsolved", iface.stat_nunsolved)
+        if getattr(iface, "stat_nonevar", 0):
+            row("interface: one-var fast path", iface.stat_nonevar)
+        if getattr(iface, "stat_nveri_resolve", 0):
+            row("interface: verify re-solves", iface.stat_nveri_resolve)
     return "\n".join(lines)

@@ -32,3 +32,23 @@ def test_lp_mode_parity(name, expect):
         # blocks are only enforced through them); the infeasible case may
         # be decided by bound propagation before any separation round
         assert res.stats.ncuts > 0
+
+
+def test_lpmode_exact_enforcement_path():
+    """enforcesdp (cons_sdp.c:8276-8423): with enforce_after=0 every
+    SDP-infeasible integral LP point triggers the exact probing solve;
+    parity must hold and the counter must fire."""
+    import dataclasses
+    import numpy as np
+
+    from scipsdp_tpu.core.branchbound import solve_misdp
+    from scipsdp_tpu.models.io import read_problem
+    from scipsdp_tpu.utils.config import BBSettings, Settings
+
+    prob = read_problem("/root/reference/instances/example_small.dat-s")
+    s = Settings(solve_sdps=0,
+                 bb=BBSettings(enforcesdp=True, enforce_after=0))
+    res = solve_misdp(prob, s)
+    assert res.status.name == "OPTIMAL"
+    assert res.objval == pytest.approx(-8.0, abs=1e-4)
+    assert res.stats.nenforce_sdp > 0

@@ -1,0 +1,323 @@
+"""Double-single (two-float32) compensated contraction kernels.
+
+TPU Mosaic has no f64; XLA emulates every f64 contraction as a long chain
+of small kernels (~0.4 ms fixed cost each on v5e, measured round 3).  The
+"refine" IPM tier needs ~27 such contractions per iteration ONLY because
+its Newton assembly cancels large near-equal products — the arithmetic
+that matters is error-free products and exact accumulation, not the f64
+format.  These kernels compute C = A @ B where every scalar MAC uses
+Dekker/Veltkamp TwoProd + branch-free TwoSum on float32 pairs
+(hi + lo, |lo| <= eps*|hi|), giving ~2^-45 relative accuracy in ONE
+Mosaic kernel per contraction.
+
+Reference role: the dense linear algebra the back-ends get from f64
+LAPACK/BLAS (src/sdpi/lapack_interface.c) at the accuracies the IPM
+endgame needs — re-derived for a TPU that only has f32 lanes.
+
+All kernels are traced inside ``jax.enable_x64(False)`` (Mosaic rejects
+x64-traced programs, see ops/pallas_kernels.py) and take/return f32
+hi/lo pairs; `split64`/`join64` convert at the f64 boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # set True (tests) to run kernels in interpreter mode
+
+
+def _use_interpret() -> bool:
+    return _INTERPRET or jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# error-free transforms (branch-free, VPU-friendly)
+# ---------------------------------------------------------------------------
+
+_SPLIT = 4097.0   # 2^12 + 1: Veltkamp split constant for float32
+
+
+def _split(a):
+    t = a * _SPLIT
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """p + e == a*b exactly (f32)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _two_sum(a, b):
+    """s + e == a + b exactly (f32)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _dd_mac(sh, sl, ah, al, bh, bl):
+    """(sh, sl) += (ah+al) * (bh+bl); drops the O(eps^2) alo*blo term."""
+    p, e = _two_prod(ah, bh)
+    e = e + (ah * bl + al * bh)
+    sh, e2 = _two_sum(sh, p)
+    return sh, sl + (e + e2)
+
+
+def _dd_reduce(ph, pe, axis):
+    """Compensated reduction of product pairs along ``axis``: TwoSum
+    halving tree on the hi parts (errors collected in plain f32 — they
+    are O(eps * |terms|), so their plain sum is accurate enough)."""
+    err = jnp.sum(pe, axis=axis)
+    vals = jnp.moveaxis(ph, axis, 0)
+    n = vals.shape[0]
+    while n > 1:
+        half = n // 2
+        a = vals[:half]
+        b = vals[half: 2 * half]
+        s, e = _two_sum(a, b)
+        err = err + jnp.sum(e, axis=0)
+        if n % 2:
+            vals = jnp.concatenate([s, vals[2 * half: n]], axis=0)
+            n = half + 1
+        else:
+            vals = s
+            n = half
+    return vals[0], err
+
+
+# ---------------------------------------------------------------------------
+# f64 boundary helpers
+# ---------------------------------------------------------------------------
+
+def split64(x):
+    """f64 array -> (hi, lo) f32 pair with x == hi + lo (up to f64 eps)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def join64(hi, lo):
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _bmm_math(ah, al, bh, bl):
+    """(n, n) @ (n, n) double-single matmul (pure math, kernel-shared).
+
+    Column/row selection via iota masks — Mosaic TC has no dynamic_slice
+    (same technique as ops/pallas_kernels.py's one-hot Cholesky); masked
+    sums are exact, so the error-free transforms are unaffected."""
+    n = ah.shape[-1]
+    sh0 = jnp.zeros_like(ah)
+    sl0 = jnp.zeros_like(ah)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+
+    def body(c, carry):
+        sh, sl = carry
+        cm = cols == c
+        rm = rows == c
+        avh = jnp.sum(jnp.where(cm, ah, 0.0), axis=1, keepdims=True)
+        avl = jnp.sum(jnp.where(cm, al, 0.0), axis=1, keepdims=True)
+        bvh = jnp.sum(jnp.where(rm, bh, 0.0), axis=0, keepdims=True)
+        bvl = jnp.sum(jnp.where(rm, bl, 0.0), axis=0, keepdims=True)
+        return _dd_mac(sh, sl, avh, avl, bvh, bvl)
+
+    return jax.lax.fori_loop(0, n, body, (sh0, sl0))
+
+
+def _bmm_kernel(ah_ref, al_ref, bh_ref, bl_ref, ch_ref, cl_ref):
+    """One (n, n) @ (n, n) double-single matmul per grid cell."""
+    sh, sl = _bmm_math(ah_ref[0], al_ref[0], bh_ref[0], bl_ref[0])
+    ch_ref[0] = sh
+    cl_ref[0] = sl
+
+
+@functools.partial(jax.jit, static_argnames=())
+def dd_bmm(Ah, Al, Bh, Bl):
+    """Batched square double-single matmul: (G, n, n) @ (G, n, n).
+
+    Returns (Chi, Clo) f32 pairs with C accurate to ~2^-45 relative."""
+    G, n, _ = Ah.shape
+    spec = pl.BlockSpec((1, n, n), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _bmm_kernel,
+            grid=(G,),
+            in_specs=[spec, spec, spec, spec],
+            out_specs=[spec, spec],
+            out_shape=[jax.ShapeDtypeStruct((G, n, n), jnp.float32)] * 2,
+            interpret=_use_interpret(),
+        )(Ah, Al, Bh, Bl)
+
+
+def _short_math(mh, ml, vh, vl):
+    """sum_j M[j, :] * v[0, j] with M (J, F), v (1, J) -> (1, F) pair.
+
+    Row/element selection via iota masks (no dynamic_slice on Mosaic)."""
+    J, F = mh.shape
+    sh0 = jnp.zeros((1, F), jnp.float32)
+    sl0 = jnp.zeros((1, F), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (1, J), 1)
+
+    def body(j, carry):
+        sh, sl = carry
+        rm = rows == j
+        rh = jnp.sum(jnp.where(rm, mh, 0.0), axis=0, keepdims=True)
+        rl = jnp.sum(jnp.where(rm, ml, 0.0), axis=0, keepdims=True)
+        jm = jidx == j
+        svh = jnp.sum(jnp.where(jm, vh, 0.0), axis=1, keepdims=True)
+        svl = jnp.sum(jnp.where(jm, vl, 0.0), axis=1, keepdims=True)
+        return _dd_mac(sh, sl, rh, rl, svh, svl)
+
+    return jax.lax.fori_loop(0, J, body, (sh0, sl0))
+
+
+def _short_kernel(mh_ref, ml_ref, vh_ref, vl_ref, oh_ref, ol_ref):
+    """out[g] = sum_j M[(g,) j, :] * v[g, j] — contraction over the SHORT
+    leading axis J with a wide payload F (dS assembly, W^T v).  All
+    intermediates stay 2D (TPU vector layout)."""
+    mh = mh_ref[0] if len(mh_ref.shape) == 3 else mh_ref[:]
+    ml = ml_ref[0] if len(ml_ref.shape) == 3 else ml_ref[:]
+    sh, sl = _short_math(mh, ml, vh_ref[0], vl_ref[0])   # v refs (1,1,J)
+    oh_ref[0] = sh
+    ol_ref[0] = sl
+
+
+def dd_contract_short(Mh, Ml, vh, vl):
+    """out[g, f] = sum_j M[(g,)j,f] * v[g,j].
+
+    ``M``: (J, F) static-per-batch or (G, J, F) per-instance; v: (G, J).
+    Returns (G, F) hi/lo pair.  Vectors travel as (G, 1, L) so every
+    block's trailing two dims equal the array dims (Mosaic constraint)."""
+    G, J = vh.shape
+    static_m = Mh.ndim == 2
+    F = Mh.shape[-1]
+    if static_m:
+        mspec = pl.BlockSpec((J, F), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        mspec = pl.BlockSpec((1, J, F), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, 1, J), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, 1, F), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        oh, ol = pl.pallas_call(
+            _short_kernel,
+            grid=(G,),
+            in_specs=[mspec, mspec, vspec, vspec],
+            out_specs=[ospec, ospec],
+            out_shape=[jax.ShapeDtypeStruct((G, 1, F), jnp.float32)] * 2,
+            interpret=_use_interpret(),
+        )(Mh, Ml, vh.reshape(G, 1, J), vl.reshape(G, 1, J))
+    return oh.reshape(G, F), ol.reshape(G, F)
+
+
+def _long_math(mh, ml, vh, vl):
+    """sum_f M[j, f] * v[0, f] with M (J, F), v (1, F) -> (J,) pair."""
+    ph, pe = _two_prod(mh, vh)
+    pe = pe + (mh * vl + ml * vh)
+    return _dd_reduce(ph, pe, axis=1)
+
+
+def _long_kernel(mh_ref, ml_ref, vh_ref, vl_ref, oh_ref, ol_ref):
+    """out[g, j] = sum_f M[(g,) j, f] * v[g, f] — contraction over the
+    wide trailing axis F (A*-contractions, W u matvecs): elementwise
+    TwoProd then a compensated halving-tree reduction."""
+    mh = mh_ref[0] if len(mh_ref.shape) == 3 else mh_ref[:]
+    ml = ml_ref[0] if len(ml_ref.shape) == 3 else ml_ref[:]
+    sh, se = _long_math(mh, ml, vh_ref[0], vl_ref[0])    # v refs (1,1,F)
+    oh_ref[0] = sh[None, :]
+    ol_ref[0] = se[None, :]
+
+
+def dd_contract_long(Mh, Ml, vh, vl):
+    """out[g, j] = sum_f M[(g,)j,f] * v[g,f].
+
+    ``M``: (J, F) or (G, J, F); v: (G, F).  Returns (G, J) hi/lo pair."""
+    G, F = vh.shape
+    static_m = Mh.ndim == 2
+    J = Mh.shape[-2]
+    if static_m:
+        mspec = pl.BlockSpec((J, F), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        mspec = pl.BlockSpec((1, J, F), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, 1, F), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, 1, J), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        oh, ol = pl.pallas_call(
+            _long_kernel,
+            grid=(G,),
+            in_specs=[mspec, mspec, vspec, vspec],
+            out_specs=[ospec, ospec],
+            out_shape=[jax.ShapeDtypeStruct((G, 1, J), jnp.float32)] * 2,
+            interpret=_use_interpret(),
+        )(Mh, Ml, vh.reshape(G, 1, F), vl.reshape(G, 1, F))
+    return oh.reshape(G, J), ol.reshape(G, J)
+
+
+# ---------------------------------------------------------------------------
+# f64-boundary convenience wrappers (einsum drop-ins)
+# ---------------------------------------------------------------------------
+
+def _pair(x):
+    """Split an operand into an (hi, lo) f32 pair; f32 inputs (e.g. the
+    Schur features, f32-valued inverses) are exactly representable, so
+    their lo part is zero — no split ops emitted."""
+    if isinstance(x, tuple):
+        return x
+    if x.dtype == jnp.float32:
+        return x, jnp.zeros_like(x)
+    return split64(x)
+
+
+def bmm64(A, B):
+    """einsum('...ab,...bc->...ac') at ~2^-45 accuracy; f64 or f32
+    operands (or pre-split (hi, lo) pairs); leading axes flatten into the
+    kernel grid.  Returns f64."""
+    shape = jnp.shape(A[0] if isinstance(A, tuple) else A)
+    n = shape[-1]
+    G = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    Ah, Al = _pair(A)
+    Bh, Bl = _pair(B)
+    Ch, Cl = dd_bmm(Ah.reshape(G, n, n), Al.reshape(G, n, n),
+                    Bh.reshape(G, n, n), Bl.reshape(G, n, n))
+    return join64(Ch, Cl).reshape(shape)
+
+
+def contract_short64(M, v):
+    """einsum('(g)jf,gj->gf') at ~2^-45 accuracy; returns f64."""
+    Mh, Ml = _pair(M)
+    vh, vl = _pair(v)
+    oh, ol = dd_contract_short(Mh, Ml, vh, vl)
+    return join64(oh, ol)
+
+
+def contract_long64(M, v):
+    """einsum('(g)jf,gf->gj') at ~2^-45 accuracy; returns f64."""
+    Mh, Ml = _pair(M)
+    vh, vl = _pair(v)
+    oh, ol = dd_contract_long(Mh, Ml, vh, vl)
+    return join64(oh, ol)

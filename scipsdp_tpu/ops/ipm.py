@@ -568,6 +568,20 @@ def ipm_solve(
     if use_phase32:
         A32 = bmap(lambda t: data.A[t].astype(jnp.float32))
         G32 = Gall.astype(jnp.float32)
+    # double-single Pallas kernels for the refine tier's exact
+    # contractions (ops/df32.py): each replaces an emulated-f64 einsum
+    # (a chain of small XLA kernels) with ONE Mosaic kernel at ~2^-45
+    # accuracy — validated on-device (PERFORMANCE.md round 3)
+    use_df32 = (use_refine and settings.use_df32 != "off" and _pallas_ok())
+    if use_df32:
+        from scipsdp_tpu.ops import df32 as _dd
+
+        # loop-invariant operands, split into hi/lo pairs once:
+        # per-bucket A flattened to (mp, K*n*n) with feature order (k,a,b)
+        A_flat_pair = bmap(lambda t: _dd.split64(
+            jnp.transpose(data.A[t], (1, 0, 2, 3)).reshape(mp, -1)))
+        Gall_pair = _dd.split64(Gall)
+        GallT_pair = _dd.split64(jnp.swapaxes(Gall, 1, 2))
 
     class EvalOut(NamedTuple):
         Rp: Tuple[jnp.ndarray, ...]   # dual-infeasibility residual Z(y)-S
@@ -970,8 +984,61 @@ def ipm_solve(
             LXS = bmap(chol_inv)
             Lxinv = tuple(v[0] for v in LXS)
             Lsinv = tuple(v[1] for v in LXS)
-            Sinv64 = bmap(lambda t: sym(jnp.einsum(
-                "xkba,xkbc->xkac", Lsinv[t], Lsinv[t])).astype(dtype))
+            Sinv32 = bmap(lambda t: sym(jnp.einsum(
+                "xkba,xkbc->xkac", Lsinv[t], Lsinv[t])))
+            Sinv64 = bmap(lambda t: Sinv32[t].astype(dtype))
+
+            # exact-contraction dispatch: df32 compensated Pallas kernels
+            # on TPU, emulated-f64 einsums elsewhere.  Sinv is f32-VALUED
+            # either way (preconditioner-quality inverse); exactness is
+            # only needed in the cancelling products/sums.
+            if use_df32:
+                def mm_f64(a, b):
+                    return _dd.bmm64(a, b)
+
+                def astar_f64(P):
+                    """sum_t einsum('kjab,xkba->xj', A_t, P_t)."""
+                    out = None
+                    for t in range(NB):
+                        Pt = jnp.swapaxes(P[t], -1, -2).reshape(B, -1)
+                        o = _dd.contract_long64(A_flat_pair[t], Pt)
+                        out = o if out is None else out + o
+                    return out
+
+                def aapply_f64(dy):
+                    """einsum('kjab,xj->xkab', A_t, dy) per bucket."""
+                    outs = []
+                    for t in range(NB):
+                        flat = _dd.contract_short64(A_flat_pair[t], dy)
+                        K_t, _, n_t, _ = data.A[t].shape
+                        outs.append(flat.reshape(B, K_t, n_t, n_t))
+                    return tuple(outs)
+
+                def gt_f64(w):
+                    """einsum('xpm,xp->xm', Gall, w)."""
+                    return _dd.contract_long64(GallT_pair, w)
+
+                def grow_f64(dy):
+                    """einsum('xpm,xm->xp', Gall, dy)."""
+                    return _dd.contract_long64(Gall_pair, dy)
+            else:
+                def mm_f64(a, b):
+                    return jnp.einsum("...ab,...bc->...ac", a.astype(dtype),
+                                      b.astype(dtype))
+
+                def astar_f64(P):
+                    return bsum(bmap(lambda t: jnp.einsum(
+                        "kjab,xkba->xj", data.A[t], P[t])))
+
+                def aapply_f64(dy):
+                    return bmap(lambda t: jnp.einsum(
+                        "kjab,xj->xkab", data.A[t], dy))
+
+                def gt_f64(w):
+                    return jnp.einsum("xpm,xp->xm", Gall, w)
+
+                def grow_f64(dy):
+                    return jnp.einsum("xpm,xm->xp", Gall, dy)
 
             # W features + Schur Gram in f32 (the FLOP-heavy kernels)
             def wfeat(t):

@@ -108,6 +108,11 @@ class IPMSettings:
                                    # BBSettings.warmstartpreoptsol
     use_pallas: bool = False       # hand-written Pallas TPU kernel for the
                                    # Schur product (else XLA matmul)
+    use_df32: str = "auto"         # double-single compensated Pallas
+                                   # kernels for the refine tier's exact
+                                   # contractions (ops/df32.py) instead of
+                                   # XLA's emulated f64 (~0.4 ms/op fixed
+                                   # cost on v5e); "auto" = on for TPU
     step_rule: str = "auto"        # PSD max-step: "auto" resolves by
                                    # backend at interface creation —
                                    # "power" (iteration + Cholesky-probe

@@ -1,0 +1,88 @@
+"""Double-single (two-f32) compensated contraction math vs f64.
+
+The refine IPM tier's correctness rests on these reaching ~2^-45 relative
+accuracy on cancellation-heavy products (ops/df32.py).  The ALGORITHM is
+validated here eagerly (per-op IEEE f32 semantics): XLA:CPU's LLVM
+backend FMA-contracts `p = a*b` into the following accumulate add on its
+vectorized path, which breaks TwoProd/TwoSum invariants, so neither jit
+nor pallas-interpret can check exactness on CPU.  The MOSAIC lowering is
+validated on TPU hardware by profile_df32.py (results in
+PERFORMANCE.md).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import scipsdp_tpu.ops.df32 as df32
+
+
+def _split64(x):
+    hi = x.astype(np.float32)
+    return hi, (x - hi.astype(np.float64)).astype(np.float32)
+
+
+def _rel(got, want):
+    return np.abs(got - want).max() / max(np.abs(want).max(), 1e-30)
+
+
+def _run(mathfn, *args):
+    with jax.disable_jit():
+        out = mathfn(*args)
+    return tuple(np.asarray(o) for o in out)
+
+
+def test_bmm_math_accuracy_and_cancellation():
+    rng = np.random.default_rng(0)
+    n = 24
+    A = rng.standard_normal((n, n)) * np.exp(rng.uniform(-6, 6, (n, n)))
+    B = rng.standard_normal((n, n))
+    want = A @ B
+    sh, sl = _run(df32._bmm_math, *_split64(A), *_split64(B))
+    got = sh.astype(np.float64) + sl.astype(np.float64)
+    assert _rel(got, want) < 1e-11
+
+    # X*S near the central path: O(1) products cancelling to O(mu)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.exp(rng.uniform(-3, 3, n))
+    mu = 1e-7
+    X = (Q * lam) @ Q.T
+    S = (Q * (mu / lam)) @ Q.T
+    want = X @ S
+    sh, sl = _run(df32._bmm_math, *_split64(X), *_split64(S))
+    got = sh.astype(np.float64) + sl.astype(np.float64)
+    f32 = (X.astype(np.float32) @ S.astype(np.float32)).astype(np.float64)
+    assert _rel(got, want) < 1e-9
+    # plain f32 is orders of magnitude worse on the cancellation
+    assert _rel(f32, want) > 100.0 * max(_rel(got, want), 1e-15)
+
+
+def test_short_math():
+    rng = np.random.default_rng(2)
+    J, F = 34, 200
+    M = rng.standard_normal((J, F)) * 1e3
+    v = rng.standard_normal((1, J))
+    want = np.einsum("jf,xj->xf", M, v)
+    sh, sl = _run(df32._short_math, *_split64(M), *_split64(v))
+    got = sh.astype(np.float64) + sl.astype(np.float64)
+    assert _rel(got, want) < 1e-11
+
+
+def test_long_math():
+    rng = np.random.default_rng(3)
+    J, F = 34, 777
+    M = rng.standard_normal((J, F)) * np.exp(rng.uniform(-4, 4, (J, F)))
+    v = rng.standard_normal((1, F))
+    want = np.einsum("jf,xf->j", M, v)
+    sh, sl = _run(df32._long_math, *_split64(M), *_split64(v))
+    got = sh.astype(np.float64) + sl.astype(np.float64)
+    assert _rel(got, want) < 1e-11
+
+
+def test_split_join_roundtrip():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(100) * np.exp(rng.uniform(-30, 30, 100))
+    with jax.disable_jit():
+        hi, lo = df32.split64(x)
+        back = np.asarray(df32.join64(hi, lo))
+    assert _rel(back, x) < 1e-14

@@ -365,30 +365,38 @@ def fix_and_aggregate(prob: MISDP, aggregate: bool = False,
     alive_rows = np.ones(prob.lp.nrows, dtype=bool)
     alive = np.ones(m, dtype=bool)
     ops = []
+    extra_rows = []   # bound rows of multi-aggregated variables (in
+    #                   ORIGINAL indices; remapped at rebuild)
 
-    def eliminate(i, alpha, j, beta):
-        """y_i := alpha * y_j + beta  (alpha = 0, j = -1 for a fixing)."""
+    def eliminate_multi(i, terms, beta):
+        """y_i := sum_k alpha_k * y_{j_k} + beta  (terms = [(alpha, j)];
+        empty terms = a fixing).  The general multi-aggregation
+        substitution (multiaggrVar, cons_sdp.c:4317-4498)."""
         nonlocal offset
         for k in range(len(A)):
             Ai = A[k][i].copy()
-            if alpha != 0.0:
+            for alpha, j in terms:
                 A[k][j] += alpha * Ai
             C[k] -= beta * Ai
             A[k][i] = 0.0
         di = D[:, i].copy()
-        if alpha != 0.0:
+        for alpha, j in terms:
             D[:, j] += alpha * di
         fin = lhs > -INF / 2
         lhs[fin] -= beta * di[fin]
         fin = rhs < INF / 2
         rhs[fin] -= beta * di[fin]
         D[:, i] = 0.0
-        if alpha != 0.0:
+        for alpha, j in terms:
             obj[j] += alpha * obj[i]
         offset += beta * obj[i]
         obj[i] = 0.0
         alive[i] = False
-        ops.append((i, alpha, j, beta))
+        ops.append((i, list(terms), beta))
+
+    def eliminate(i, alpha, j, beta):
+        """y_i := alpha * y_j + beta  (alpha = 0, j = -1 for a fixing)."""
+        eliminate_multi(i, ([] if alpha == 0.0 else [(alpha, j)]), beta)
 
     changed = True
     while changed:
@@ -433,12 +441,46 @@ def fix_and_aggregate(prob: MISDP, aggregate: bool = False,
             eliminate(i, alpha, j, beta)
             alive_rows[r] = False
             changed = True
+        if changed:
+            continue
+        # general multi-aggregation (multiaggrVar, cons_sdp.c:4317-4498):
+        # an equality row with a well-scaled continuous variable
+        # substitutes  y_i = (c - sum_k b_k y_k) / a  everywhere; the
+        # eliminated variable's finite bounds survive as a ranged row
+        # over the aggregation variables
+        for r in np.where(alive_rows)[0]:
+            if not (lhs[r] > -INF / 2 and rhs[r] < INF / 2
+                    and abs(lhs[r] - rhs[r]) <= feastol):
+                continue
+            nz = np.where(alive & (np.abs(D[r]) > 1e-12))[0]
+            if len(nz) < 3 or len(nz) > 8:
+                continue
+            rmax = np.abs(D[r, nz]).max()
+            cand = [v for v in nz if not prob.integral[v]
+                    and abs(D[r, v]) >= 1e-7 * rmax]
+            if not cand:
+                continue
+            i = int(cand[0])
+            a = D[r, i]
+            terms = [(-D[r, j] / a, int(j)) for j in nz if j != i]
+            beta = rhs[r] / a
+            # bounds of y_i become a ranged row over the aggregation vars
+            if lb[i] > -INF / 2 or ub[i] < INF / 2:
+                lo = lb[i] - beta if lb[i] > -INF / 2 else -INF
+                hi = ub[i] - beta if ub[i] < INF / 2 else INF
+                extra_rows.append(([j for _, j in terms],
+                                   [al for al, _ in terms],
+                                   float(lo), float(hi)))
+            eliminate_multi(i, terms, beta)
+            alive_rows[r] = False
+            changed = True
+            break   # rescan (D changed under us)
 
     if ops and not alive.any():
         # keep one variable so the reduced problem stays well-formed; its
         # contributions are already folded into the constant data, so it
         # survives as a zero-coefficient variable pinned to its value
-        i, alpha, j, beta = ops.pop()
+        i, _terms, beta = ops.pop()
         alive[i] = True
         lb[i] = ub[i] = beta   # it was a fixing (aggregations keep j alive)
     if not ops:
@@ -469,6 +511,29 @@ def fix_and_aggregate(prob: MISDP, aggregate: bool = False,
             continue
         rows.append((list(nz), list(D[r, keep][nz]),
                      float(lhs[r]), float(rhs[r])))
+    for inds, vals, lo, hi in extra_rows:
+        # remap to reduced indices; entries on since-eliminated vars were
+        # substituted into D only for live rows, so rebuild the row in
+        # the ORIGINAL space and project: all aggregation vars that were
+        # themselves eliminated later need their substitutions applied
+        g = np.zeros(m)
+        for v, al in zip(inds, vals):
+            g[v] += al
+        const = 0.0
+        # replay subsequent eliminations on this row
+        for (ei, eterms, ebeta) in ops:
+            if g[ei] != 0.0:
+                coef = g[ei]
+                for al2, j2 in eterms:
+                    g[j2] += coef * al2
+                const += coef * ebeta
+                g[ei] = 0.0
+        nz = np.where(np.abs(g[keep]) > 1e-14)[0]
+        if len(nz) == 0:
+            continue
+        lo2 = lo - const if lo > -INF / 2 else -INF
+        hi2 = hi - const if hi < INF / 2 else INF
+        rows.append((list(nz), list(g[keep][nz]), float(lo2), float(hi2)))
     return dataclasses.replace(
         prob,
         nvars=len(keep),
@@ -492,8 +557,8 @@ def postsolve_solution(prob: MISDP, y: np.ndarray) -> np.ndarray:
     m_orig, keep, ops = prob.postsolve
     out = np.zeros(m_orig)
     out[keep] = y[: len(keep)]
-    for (i, alpha, j, beta) in reversed(ops):
-        out[i] = (alpha * out[j] if j >= 0 else 0.0) + beta
+    for (i, terms, beta) in reversed(ops):
+        out[i] = sum(alpha * out[j] for alpha, j in terms) + beta
     return out
 
 

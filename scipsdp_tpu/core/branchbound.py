@@ -568,12 +568,27 @@ class _Solver:
             # separation loop: add eigenvector cuts until SDP-feasible or
             # no violated cuts (the reference's LP loop: consSepalpSdp ->
             # separateSol per LP round)
-            for _ in range(MAX_SEP_ROUNDS):
+            integral = self.prob.integral
+            for rnd in range(MAX_SEP_ROUNDS):
                 usable = np.isin(res.status, (
                     int(SolverResultStatus.OPTIMAL),
                     int(SolverResultStatus.PRESOLVED_OPTIMAL)))
                 if not usable.any():
                     break
+                if bb.enforcesdp and rnd >= bb.enforce_after:
+                    # exact-SDP enforcement takes over for INTEGRAL points
+                    # after ``enforce_after`` separation rounds
+                    # (consEnfolpSdp -> enforceSdp, cons_sdp.c:8276-8423):
+                    # stop separating them so the acceptance path solves
+                    # the node's true SDP in probing instead of chasing
+                    # cut convergence
+                    frac = np.abs(res.y[:, integral]
+                                  - np.round(res.y[:, integral]))
+                    is_int = (frac.max(axis=1) <= self.settings.bb.feastol
+                              if frac.size else
+                              np.ones(res.y.shape[0], dtype=bool))
+                    if (usable & is_int).any():
+                        break
                 added = self._separate(res.y, len(batch))
                 self.stats.sep_rounds += 1
                 if added == 0:

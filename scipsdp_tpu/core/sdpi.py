@@ -393,6 +393,8 @@ class SDPInterface:
         B, m = lb.shape
         dense = self.dense
         decided = {}
+        if not ipms.onevar:
+            return lb, ub, decided
         free_all = (ub - lb) > epsfix
         nfree = free_all.sum(axis=1)
         cand = np.where((nfree == 1) & ~(lb > ub + feastol).any(axis=1))[0]
@@ -777,8 +779,14 @@ class SDPInterface:
         # y fails the independent feastol check is re-solved with the
         # CONVERGENCE feastol tightened 10x (traced — no recompile), and
         # only declared FAILED when even the tightened solves cannot
-        # produce a verifiable solution.
+        # produce a verifiable solution.  One-var-decided instances are
+        # exempt: their optimum is an exact eigenvalue-interval endpoint
+        # (the interval computation IS the independent check), they sit by
+        # construction AT the feastol boundary, and their slots carry a
+        # conflict box so an IPM re-solve could only report infeasible.
         optm = (status == int(SolverResultStatus.OPTIMAL)) & live
+        for i in onevar:
+            optm[i] = False
         if optm.any():
             from scipsdp_tpu.core.feascheck import check_points
             okv = np.asarray(check_points(self.data, self._put(y),

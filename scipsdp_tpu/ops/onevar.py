@@ -167,7 +167,11 @@ def feasible_interval(A: np.ndarray, C: np.ndarray, lo: float, hi: float,
                     hi_ = mid
             if hi_ - lo_ < tol * max(1.0, abs(hi_)):
                 break
-        return 0.5 * (lo_ + hi_)
+        # return the certified-feasible iterate, not the midpoint: the
+        # endpoint must satisfy lambda_min >= -feastol so downstream
+        # consumers (conflict rows, the one-var fast path) get a point
+        # on the feasible side of the relaxed boundary
+        return hi_ if increasing else lo_
 
     left = lo_c if f_lo >= -feastol else bisect(lo_c, peak, True)
     right = hi_c if f_hi >= -feastol else bisect(peak, hi_c, False)
@@ -238,7 +242,8 @@ def solve_one_var_sdp(A: np.ndarray, C: np.ndarray, c: float,
                     hi_ = mid
             if hi_ - lo_ < tol * max(1.0, abs(hi_)):
                 break
-        return 0.5 * (lo_ + hi_)
+        # certified-feasible iterate (see feasible_interval.bisect)
+        return hi_ if increasing else lo_
 
     # feasible interval endpoints within [lo, hi]
     left = lo if f_lo >= -feastol else bisect(lo, peak, True)

@@ -106,6 +106,11 @@ class IPMSettings:
                                    # for warmstarts, sdpisolver_sdpa.cpp:
                                    # 1612-1618); 0 = off.  Set through
                                    # BBSettings.warmstartpreoptsol
+    onevar: bool = True            # one-active-variable fast path: decide
+                                   # instances with exactly one free var
+                                   # on the host (ops/onevar.py) and mask
+                                   # them out of the IPM dispatch
+                                   # (SCIPsolveOneVarSDP, sdpi.c:3301-3381)
     use_pallas: bool = False       # hand-written Pallas TPU kernel for the
                                    # Schur product (else XLA matmul)
     use_df32: str = "auto"         # double-single compensated Pallas

@@ -35,20 +35,31 @@ def test_lp_mode_parity(name, expect):
 
 
 def test_lpmode_exact_enforcement_path():
-    """enforcesdp (cons_sdp.c:8276-8423): with enforce_after=0 every
-    SDP-infeasible integral LP point triggers the exact probing solve;
-    parity must hold and the counter must fire."""
-    import dataclasses
+    """enforcesdp (cons_sdp.c:8276-8423): with enforce_after=0 an
+    SDP-infeasible INTEGRAL LP point triggers the exact probing solve
+    instead of endless separation; parity must hold and the counter must
+    fire.  Uses a constructed instance whose pure-LP optimum is integral
+    but SDP-infeasible: maximize y0+y1 over binaries subject to the
+    correlation matrix [[1,y0,0],[y0,1,y1],[0,y1,1]] >= 0 (i.e.
+    y0^2 + y1^2 <= 1), so the LP relaxation's (1,1) violates the SDP and
+    the true optimum is -1 (one of the two)."""
     import numpy as np
 
     from scipsdp_tpu.core.branchbound import solve_misdp
-    from scipsdp_tpu.models.io import read_problem
+    from scipsdp_tpu.models.problem import LinearConstraints, MISDP, SDPBlock
     from scipsdp_tpu.utils.config import BBSettings, Settings
 
-    prob = read_problem("/root/reference/instances/example_small.dat-s")
+    blk = SDPBlock(size=3,
+                   var=[0, 1], row=[1, 2], col=[0, 1], val=[1.0, 1.0],
+                   const_row=[0, 1, 2], const_col=[0, 1, 2],
+                   const_val=[-1.0, -1.0, -1.0])
+    prob = MISDP(nvars=2, obj=np.array([-1.0, -1.0]),
+                 lb=np.zeros(2), ub=np.ones(2),
+                 integral=np.ones(2, dtype=bool), blocks=[blk],
+                 lp=LinearConstraints.empty(), name="corr_enforce")
     s = Settings(solve_sdps=0,
                  bb=BBSettings(enforcesdp=True, enforce_after=0))
     res = solve_misdp(prob, s)
     assert res.status.name == "OPTIMAL"
-    assert res.objval == pytest.approx(-8.0, abs=1e-4)
+    assert res.objval == pytest.approx(-1.0, abs=1e-4)
     assert res.stats.nenforce_sdp > 0

@@ -50,7 +50,7 @@ class ScriptedRuns:
         self.m = iface.m
 
     def __call__(self, b, lb, ub, cuts=None, warm_y=None, warm_mask=None,
-                 f32=False, gaptol=None, warm_X=None):
+                 f32=False, gaptol=None, warm_X=None, feastol_vec=None):
         B = b.shape[0]
         self.calls.append((float(b[0, self.m]),
                            None if gaptol is None else float(
@@ -58,6 +58,9 @@ class ScriptedRuns:
         status, r, xlb_r, dobj = self.script.pop(0)
         mp = self.m + 1
         y = np.zeros((B, mp))
+        # feasible primal point (y0=1 satisfies y0 >= 0.5 and the box) so
+        # accepted solutions pass the independent verification rung
+        y[:, 0] = 1.0
         y[:, self.m] = r
         xlb = np.zeros((B, mp))
         xlb[:, self.m] = xlb_r
@@ -80,7 +83,8 @@ class ScriptedRuns:
 def _make_iface(npenaltyincr=2):
     prob = _tiny_problem()
     s = Settings(ipm=IPMSettings(penaltyparam=10.0, maxpenaltyparam=1000.0,
-                                 npenaltyincr=npenaltyincr))
+                                 npenaltyincr=npenaltyincr,
+                                 onevar=False))
     return SDPInterface(densify(prob), s), s
 
 

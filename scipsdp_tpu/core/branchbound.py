@@ -183,7 +183,7 @@ class _Solver:
         if settings.use_mesh:
             import jax as _jax
             from scipsdp_tpu.parallel.mesh import make_mesh
-            ndev = len(_jax.devices())
+            ndev = settings.mesh_devices or len(_jax.local_devices())
             if ndev > 1:
                 axes = (("nodes", "blocks")
                         if ndev % 2 == 0 and len(prob.blocks) > 1

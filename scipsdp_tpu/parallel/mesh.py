@@ -46,7 +46,11 @@ def make_mesh(n_devices: Optional[int] = None,
     With one axis the whole mesh is the node (batch) axis.  With two axes
     ("nodes", "blocks") devices are split evenly, blocks getting at most 2.
     """
-    devices = jax.devices()
+    # LOCAL devices only: in a multi-host (jax.distributed) run each host
+    # shards its own node batches over its own chips; the cross-host layer
+    # is parallel/multihost.py (incumbent sync + work stealing), not a
+    # global mesh
+    devices = jax.local_devices()
     n = len(devices) if n_devices is None else n_devices
     if len(devices) < n:
         # the default platform cannot offer n devices (e.g. a single-chip
@@ -54,7 +58,7 @@ def make_mesh(n_devices: Optional[int] = None,
         # (--xla_force_host_platform_device_count), the multi-chip dry-run
         # validation path
         try:
-            cpus = jax.devices("cpu")
+            cpus = jax.local_devices(backend="cpu")
         except RuntimeError:
             cpus = []
         if len(cpus) >= n:

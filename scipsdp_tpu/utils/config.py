@@ -301,6 +301,8 @@ class Settings:
     # over all visible devices (parallel/mesh.py; the TPU replacement for
     # the reference's concurrent-solver portfolio at scale)
     use_mesh: bool = False
+    mesh_devices: int = 0            # 0 = all local devices; >0 pins the
+    #                                  mesh size (scaling studies/tests)
     verbosity: int = 0
     seed: int = 0
 

@@ -33,6 +33,7 @@ WORKER = r"""
 import json, os, sys
 pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
 out = sys.argv[4]
+use_mesh = len(sys.argv) > 5 and sys.argv[5] == "mesh"
 import jax
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=nproc, process_id=pid)
@@ -54,7 +55,8 @@ prob = MISDP(nvars=m, obj=obj, lb=np.zeros(m), ub=np.ones(m),
              integral=np.ones(m, bool), blocks=[blk], lp=lp,
              name="steal")
 res = solve_misdp_distributed(
-    prob, Settings(bb=BBSettings(batch_size=2)), sync_every=1)
+    prob, Settings(bb=BBSettings(batch_size=2), use_mesh=use_mesh),
+    sync_every=1)
 json.dump({"pid": pid, "status": res.status.name, "objval": res.objval,
            "nstolen": res.stats.nstolen, "ndonated": res.stats.ndonated,
            "nodes": res.stats.nodes},
@@ -81,14 +83,19 @@ def test_partition_root_disjoint_cover():
 
 
 @pytest.mark.slow
-def test_two_process_steal_and_agree(tmp_path):
+@pytest.mark.parametrize("mesh_mode", ["nomesh", "mesh"])
+def test_two_process_steal_and_agree(tmp_path, mesh_mode):
+    """mesh_mode="mesh" is the combined scale-out test: each host shards
+    its node batches over a LOCAL 2-device mesh while stealing work from
+    the other host over the distributed layer."""
     port = _free_port()
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
         "PALLAS_AXON_POOL_IPS": "",    # skip the TPU-relay plugin
         "PYTHONPATH": REPO,
-        "XLA_FLAGS": "",
+        "XLA_FLAGS": ("--xla_force_host_platform_device_count=2"
+                      if mesh_mode == "mesh" else ""),
     })
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
@@ -96,7 +103,7 @@ def test_two_process_steal_and_agree(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), "2", str(port),
-             str(outs[i])],
+             str(outs[i]), mesh_mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for i in range(2)
     ]

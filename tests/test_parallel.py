@@ -80,3 +80,33 @@ def test_turbo_sharded_over_mesh():
         use_mesh=True, bb=BBSettings(batch_size=8)))
     assert abs(res.objval - (-8.0)) < 1e-4
     assert res.stats.nodes > 0
+
+
+def test_mesh_scaling_same_optimum():
+    """Measured multi-chip scaling (virtual 8-CPU-device mesh): one CLS
+    family instance solved at mesh sizes 1/2/4/8 must reach the SAME
+    optimum; per-size nodes/s is reported for the scaling record
+    (PERFORMANCE.md).  Real multi-chip hardware is unavailable in CI —
+    this validates correctness of every mesh-size code path."""
+    import time
+
+    from scipsdp_tpu.models import families
+    from scipsdp_tpu.utils.config import BBSettings, Settings
+
+    prob = families.cardinality_least_squares(nfeatures=6, nsamples=12,
+                                              seed=1)
+    objs, rates = {}, {}
+    for ndev in (1, 2, 4, 8):
+        s = Settings(use_mesh=ndev > 1, mesh_devices=ndev,
+                     bb=BBSettings(batch_size=8))
+        t0 = time.time()
+        res = solve_misdp(prob, s)
+        dt = time.time() - t0
+        assert res.status.name == "OPTIMAL", (ndev, res.status)
+        objs[ndev] = res.objval
+        rates[ndev] = res.stats.nodes / max(dt, 1e-9)
+    ref = objs[1]
+    for ndev, v in objs.items():
+        assert abs(v - ref) < 1e-5 * max(1.0, abs(ref)), objs
+    print("mesh scaling nodes/s:", {k: round(v, 2)
+                                    for k, v in rates.items()})

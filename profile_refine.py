@@ -81,3 +81,5 @@ measure("refine, df32 off (emulated-f64 contractions)",
         dataclasses.replace(base, use_df32="off"))
 measure("plain f32 (phase32 on, switch~0)",
         dataclasses.replace(base, phase32="on", phase32_switch=1e-30))
+measure("refine, probe-ladder steps",
+        dataclasses.replace(base, step_rule="probe"))

@@ -120,16 +120,19 @@ class IPMSettings:
                                    # cost on v5e); "auto" = on for TPU
     step_rule: str = "auto"        # PSD max-step: "auto" resolves by
                                    # backend at interface creation —
-                                   # "power" (iteration + Cholesky-probe
-                                   # repair) on TPU, "eigh" (exact) on CPU.
-                                   # Measured (CLS batch 8 on v5e): power
-                                   # 1.43 s/dispatch vs eigh 3.93 s at the
-                                   # same iteration count and better
-                                   # convergence; on CPU eigh has ~20%
-                                   # fewer iterations on TT/MkP.
-                                   # "gershgorin" (eigh-free, conservative)
-                                   # ~doubles iterations — available only
-                                   # as an explicit choice
+                                   # "probe" on TPU, "eigh" (exact) on CPU.
+                                   # "probe": Gershgorin base + ONE
+                                   # stacked f32 Cholesky over a geometric
+                                   # candidate ladder (certified via PSD-
+                                   # segment convexity, within 2x of the
+                                   # exact step) — replaces "power"
+                                   # (iteration + probe repair), whose
+                                   # step machinery measured 10.2 of the
+                                   # refine tier's 11.6 ms/iter on v5e.
+                                   # On CPU eigh has ~20% fewer iterations
+                                   # on TT/MkP.  "gershgorin" (eigh-free,
+                                   # conservative) ~doubles iterations —
+                                   # available only as an explicit choice
 
 
 @dataclasses.dataclass(frozen=True)
@@ -325,7 +328,7 @@ def resolve_backend_autos(settings: Settings) -> Settings:
     backend = jax.default_backend()
     repl = {}
     if ipm.step_rule == "auto":
-        repl["step_rule"] = "eigh" if backend == "cpu" else "power"
+        repl["step_rule"] = "eigh" if backend == "cpu" else "probe"
     if ipm.phase32 == "auto":
         # accelerators: "refine" keeps factorizations in f32 down to
         # refine_switch with f64-refined Schur solves — measured 26.8 ms

@@ -582,6 +582,17 @@ def ipm_solve(
             jnp.transpose(data.A[t], (1, 0, 2, 3)).reshape(mp, -1)))
         Gall_pair = _dd.split64(Gall)
         GallT_pair = _dd.split64(jnp.swapaxes(Gall, 1, 2))
+    # fused direction kernels (ops/fused.py): the whole rhs-assembly /
+    # Schur-solve / recovery chain as 3 Mosaic kernels per direction and
+    # bucket instead of ~30 launches.  Only where the per-bucket A image
+    # fits VMEM comfortably — at MXU-filling sizes the launch overhead
+    # this fusion removes no longer dominates and the XLA path is right.
+    _a_bytes = max(int(np.prod(np.shape(data.A[t]))) * 8 for t in range(NB))
+    use_fused = (use_df32 and settings.fused_direction != "off"
+                 and _a_bytes <= 6 * 2**20)
+    if use_fused:
+        from scipsdp_tpu.ops import fused as _fu
+        A_bkt_pair = bmap(lambda t: _dd.split64(data.A[t]))
 
     class EvalOut(NamedTuple):
         Rp: Tuple[jnp.ndarray, ...]   # dual-infeasibility residual Z(y)-S
@@ -1175,11 +1186,72 @@ def ipm_solve(
 
             # X * Rp is direction-independent: hoisted out of direction()
             XRp = bmap(lambda t: mm_f64(st.X[t], ev.Rp[t]))
+            if use_fused:
+                # direction-independent hi/lo pairs for the fused kernels
+                XRp_pairs = bmap(lambda t: _dd.split64(XRp[t]))
+                Rp_pairs = bmap(lambda t: _dd.split64(ev.Rp[t]))
+                X_pairs = bmap(lambda t: _dd.split64(st.X[t]))
+                dsc_pair = _dd.split64(dsc64)
+                diag_pair = _dd.split64(jnp.broadcast_to(diag64, (B, mp)))
+                reg_pair = _dd.split64(jnp.broadcast_to(
+                    reg64[:, None], (B, mp)))
+
+            def direction_fused(Rc, rcl, rclb, rcub):
+                """Newton direction via the fused Mosaic kernels: per
+                bucket ONE rhs-assembly kernel and ONE recovery kernel,
+                plus ONE fused Schur solve — same math as ``direction``
+                below at the same double-single accuracy."""
+                Rc_pairs = bmap(lambda t: _dd.split64(Rc[t]))
+                rhs_sdp = None
+                for t in range(NB):
+                    oh, ol = _fu.rhs_bucket(A_bkt_pair[t], Rc_pairs[t],
+                                            XRp_pairs[t], Sinv32[t])
+                    c = _dd.join64(oh, ol)
+                    rhs_sdp = c if rhs_sdp is None else rhs_sdp + c
+                rhs = (
+                    rhs_sdp
+                    + gt_f64(jnp.where(pre.rowmask,
+                                       (rcl - st.xl * ev.rpl) / st.sl,
+                                       0.0))
+                    + jnp.where(pre.lbmask,
+                                (rclb - st.xlb * ev.rplb) / st.slb, 0.0)
+                    - jnp.where(pre.ubmask,
+                                (rcub - st.xub * ev.rpub) / st.sub, 0.0)
+                    - ev.rd
+                )
+                dy_pair = _fu.schur_solve_fused(
+                    Wall, _dd.split64(jnp.where(pre.fix, 0.0, rhs)),
+                    Minv, dsc_pair, diag_pair, reg_pair, pre.fix,
+                    int(max(settings.schur_refine, 0)))
+                dy = _dd.join64(*dy_pair)
+                dS, dX = [], []
+                for t in range(NB):
+                    dSp, dXp = _fu.recover_bucket(
+                        A_bkt_pair[t], dy_pair, Rp_pairs[t], Rc_pairs[t],
+                        X_pairs[t], Sinv32[t], pad_outer[t])
+                    dS.append(jnp.where(pad_outer[t],
+                                        _dd.join64(*dSp), 0.0))
+                    dX.append(jnp.where(pad_outer[t],
+                                        sym(_dd.join64(*dXp)), 0.0))
+                dS = tuple(dS)
+                dX = tuple(dX)
+                dsl = jnp.where(pre.rowmask, grow_f64(dy) + ev.rpl, 0.0)
+                dslb = jnp.where(pre.lbmask, dy + ev.rplb, 0.0)
+                dsub = jnp.where(pre.ubmask, -dy + ev.rpub, 0.0)
+                dxl = jnp.where(pre.rowmask, (rcl - st.xl * dsl) / st.sl,
+                                0.0)
+                dxlb = jnp.where(pre.lbmask,
+                                 (rclb - st.xlb * dslb) / st.slb, 0.0)
+                dxub = jnp.where(pre.ubmask,
+                                 (rcub - st.xub * dsub) / st.sub, 0.0)
+                return dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub
 
             def direction(Rc, rcl, rclb, rcub):
                 """Newton direction with exact assembly/recovery (inputs
                 and outputs f64; only the Schur back-solve passes through
                 f32; contractions via the df32 kernels on TPU)."""
+                if use_fused:
+                    return direction_fused(Rc, rcl, rclb, rcub)
                 PsiSinv = bmap(lambda t: mm_f64(Rc[t] - XRp[t],
                                                 Sinv32[t]))
                 rhs = (

@@ -118,6 +118,13 @@ class IPMSettings:
                                    # contractions (ops/df32.py) instead of
                                    # XLA's emulated f64 (~0.4 ms/op fixed
                                    # cost on v5e); "auto" = on for TPU
+    fused_direction: str = "auto"  # fused Mosaic direction kernels
+                                   # (ops/fused.py): rhs assembly, Schur
+                                   # solve + refinement, and dS/dX
+                                   # recovery as 3 kernels per direction
+                                   # instead of ~30 launches; "auto" = on
+                                   # wherever use_df32 is on and the
+                                   # bucket data fits VMEM
     step_rule: str = "auto"        # PSD max-step: "auto" resolves by
                                    # backend at interface creation —
                                    # "probe" on TPU, "eigh" (exact) on CPU.

@@ -16,9 +16,12 @@ benchmark reruns on CPU and says so in the unit string.
 
 Baseline: the reference publishes no timing numbers (BASELINE.md).  The
 driver target is >=10x single-thread SCIP-SDP+DSDP nodes/s; we take
-100 nodes/s as the DSDP single-thread estimate at this instance size
-(43x43 block, 33 vars; DSDP node solves measure ~5-20 ms at this scale),
-so vs_baseline = value / 100.0.  `--smoke` uses example_small.
+100 nodes/s as the DSDP single-thread estimate at this instance size —
+DERIVED in BASELINE.md "Baseline denominator" from measured single-
+thread LAPACK kernel costs of DSDP's per-iteration op mix at the CLS
+shapes (baseline_dsdp.py; bracket 50-250 nodes/s on workstation-class
+hardware, 6-10 nodes/s measured on this weak 2-vCPU share), so
+vs_baseline = value / 100.0.  `--smoke` uses example_small.
 """
 
 import argparse

@@ -1,0 +1,107 @@
+"""Family-scale TPU benchmark: nodes/s vs batch width at sizes where the
+tree actually fills wide batches (round-3 verdict: the 39-node
+example_CLS tree at batch 8 cannot demonstrate the throughput thesis).
+
+Generates CLS/MkP/TT instances (models/families.py) at sizes whose B&B
+trees hold hundreds+ of live nodes, solves each at several batch widths
+on the live backend, and prints one JSON line per run plus a summary
+table.  Results are recorded in BENCH_FAMILIES.json / PERFORMANCE.md.
+
+Correctness anchor: families have no reference optima, so each solve
+must (a) finish OPTIMAL with gap 0, and (b) at the smallest batch and
+largest batch agree on the objective to 1e-6 relative — a cross-batch
+consistency check (the per-instance optimum is batch-independent).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+
+import scipsdp_tpu
+if jax.default_backend() != "cpu":
+    scipsdp_tpu.enable_compilation_cache()
+
+from scipsdp_tpu.core.branchbound import solve_misdp
+from scipsdp_tpu.models.families import (cardinality_least_squares,
+                                         min_k_partition, truss_topology)
+from scipsdp_tpu.utils.config import BBSettings, Settings
+
+CONFIGS = [
+    # (label, generator factory, batches)
+    ("cls_14", lambda: cardinality_least_squares(14, 28, 5, seed=3),
+     (8, 32, 64)),
+    ("cls_18", lambda: cardinality_least_squares(18, 36, 6, seed=3),
+     (8, 32, 64, 128)),
+    ("cls_22", lambda: cardinality_least_squares(22, 44, 7, seed=3),
+     (8, 32, 64, 128)),
+    ("mkp_10", lambda: min_k_partition(10, 3, 0.7, seed=1), (8, 32, 64)),
+    ("mkp_12", lambda: min_k_partition(12, 3, 0.6, seed=1),
+     (8, 32, 64, 128)),
+    ("tt_10", lambda: truss_topology(10, 2, seed=1), (8, 32, 64)),
+    ("tt_14", lambda: truss_topology(14, 3, seed=1), (8, 32, 64)),
+]
+
+
+def run_one(prob, batch, node_limit=200_000, time_limit=900.0):
+    s = Settings(bb=BBSettings(batch_size=batch, node_limit=node_limit,
+                               time_limit=time_limit))
+    t0 = time.time()
+    res = solve_misdp(prob, s)
+    dt = time.time() - t0
+    return res, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", help="comma-separated config labels")
+    ap.add_argument("--out", default="BENCH_FAMILIES.json")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    rows = []
+    backend = jax.default_backend()
+    for label, gen, batches in CONFIGS:
+        if only and label not in only:
+            continue
+        prob = gen()
+        objs = {}
+        # warm-up at the smallest batch with a node cap compiles the graphs
+        _ = run_one(prob, batches[0], node_limit=3 * batches[0])
+        for batch in batches:
+            res, dt = run_one(prob, batch)
+            row = {
+                "family": label, "nvars": prob.nvars, "batch": batch,
+                "status": res.status.name,
+                "nodes": res.stats.nodes,
+                "iters": res.stats.ipm_iterations,
+                "rounds": res.stats.relax_solves,
+                "time_s": round(dt, 3),
+                "nodes_per_s": round(res.stats.nodes / max(dt, 1e-9), 2),
+                "objective": res.objval,
+                "backend": backend,
+            }
+            objs[batch] = res.objval
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        vals = [v for v in objs.values() if v is not None]
+        if vals and (max(vals) - min(vals)) > 1e-6 * max(1.0, abs(vals[0])):
+            print(json.dumps({"family": label,
+                              "WARNING": "cross-batch objective mismatch",
+                              "objs": {str(k): v
+                                       for k, v in objs.items()}}),
+                  flush=True)
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=1)
+    # summary table
+    print("\nfamily      nvars  batch  nodes   time(s)  nodes/s")
+    for r in rows:
+        print(f"{r['family']:<11} {r['nvars']:>5} {r['batch']:>6} "
+              f"{r['nodes']:>6} {r['time_s']:>8.1f} "
+              f"{r['nodes_per_s']:>8.1f}  {r['status']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -433,7 +433,8 @@ class _Solver:
             valid[i, :] = False
         return Gc, hc, valid
 
-    def _separate(self, y: np.ndarray, nreal: int) -> int:
+    def _separate(self, y: np.ndarray, nreal: int,
+                  rowmask: Optional[np.ndarray] = None) -> int:
         """Add violated eigenvector cuts at points y to the pool (LP mode).
 
         One batched eigh yields every candidate cut (ops/cuts.py); each
@@ -454,6 +455,8 @@ class _Solver:
             coefs = np.asarray(sep.coefs[t])[:nreal]
             rhs = np.asarray(sep.rhs[t])[:nreal]
             valid = np.asarray(sep.valid[t])[:nreal]
+            if rowmask is not None:
+                valid = valid & rowmask[:nreal, None, None]
             if cs.separateonecut and valid.any():
                 lam = np.asarray(sep.lam[t])[:nreal]
                 best = np.argmin(np.where(valid, lam, np.inf), axis=2)
@@ -575,21 +578,26 @@ class _Solver:
                     int(SolverResultStatus.PRESOLVED_OPTIMAL)))
                 if not usable.any():
                     break
+                sep_mask = None
                 if bb.enforcesdp and rnd >= bb.enforce_after:
                     # exact-SDP enforcement takes over for INTEGRAL points
                     # after ``enforce_after`` separation rounds
                     # (consEnfolpSdp -> enforceSdp, cons_sdp.c:8276-8423):
-                    # stop separating them so the acceptance path solves
-                    # the node's true SDP in probing instead of chasing
-                    # cut convergence
+                    # stop separating THOSE members so the acceptance path
+                    # solves their true SDP in probing instead of chasing
+                    # cut convergence — fractional members in the same
+                    # batch keep their remaining cut rounds (breaking for
+                    # the whole batch returned weaker bounds, advisor r3)
                     frac = np.abs(res.y[:, integral]
                                   - np.round(res.y[:, integral]))
                     is_int = (frac.max(axis=1) <= self.settings.bb.feastol
                               if frac.size else
                               np.ones(res.y.shape[0], dtype=bool))
-                    if (usable & is_int).any():
-                        break
-                added = self._separate(res.y, len(batch))
+                    stop_rows = usable & is_int
+                    if (usable & ~stop_rows).sum() == 0:
+                        break    # every usable member awaits enforcement
+                    sep_mask = ~stop_rows
+                added = self._separate(res.y, len(batch), rowmask=sep_mask)
                 self.stats.sep_rounds += 1
                 if added == 0:
                     break
@@ -648,6 +656,11 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
     settings = settings or Settings()
     bb = settings.bb
     feastol = bb.feastol
+    # DIMACS-scaled check tolerance (usedimacsfeastol, cons_sdp.c:703-710):
+    # the check callback's eigenvalue tolerance scales with 1 + sum|obj_j|
+    # (dimacsfeastol = feastol * (1 + sum), cons_sdp.c:7716-7727)
+    feastol_check = (feastol * (1.0 + float(np.sum(np.abs(prob.obj))))
+                     if bb.usedimacsfeastol else feastol)
     t0 = time.time()
 
     m_user = prob.nvars   # report solutions in the user's variable space
@@ -711,7 +724,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         if ok_in and y_in is not None:
             okc, _ = check_points(sol.full_iface.data, y_in[None, :],
                                   root_lb[None, :], root_ub[None, :],
-                                  feastol=feastol)
+                                  feastol=feastol_check)
             if (bool(np.asarray(okc)[0])
                     and _violated_indicator(prob, y_in, feastol) < 0
                     and not _lift_violated(prob, y_in, feastol)
@@ -1157,7 +1170,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                     on = yc[:, link.binvar] >= 0.5
                     yc[on, link.slackvar] = 0.0
                 f, _ = check_points(sol.full_iface.data, yc, lb, ub,
-                                    feastol=feastol)
+                                    feastol=feastol_check)
                 f = np.array(f)
                 for i in range(len(batch)):
                     if f[i] and has_rank1 and r1.rank1_violation(
@@ -1234,7 +1247,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                         ok, _ = check_points(
                             sol.full_iface.data, y[None, :],
                             node.lb[None, :], node.ub[None, :],
-                            feastol=feastol)
+                            feastol=feastol_check)
                         if not bool(np.asarray(ok)[0]):
                             if (bb.enforcesdp
                                     and node.requeues >= bb.enforce_after):
@@ -1272,7 +1285,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                             ey[None, :],
                                             node.lb[None, :],
                                             node.ub[None, :],
-                                            feastol=feastol)
+                                            feastol=feastol_check)
                                         if bool(np.asarray(okx)[0]):
                                             if eb < incumbent_val - 1e-12:
                                                 incumbent_val = eb
@@ -1384,7 +1397,7 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                 okp, violp = check_points(
                                     sol.full_iface.data, yp[None, :],
                                     node.lb[None, :], node.ub[None, :],
-                                    feastol=10.0 * feastol)
+                                    feastol=10.0 * feastol_check)
                                 if not (bool(np.asarray(okp)[0])
                                         and _violated_indicator(
                                             prob, yp, feastol) < 0

@@ -175,14 +175,60 @@ def _entry_interval(view, lb, ub, key):
     return lo, hi
 
 
+def trace_bounds(prob: MISDP, view=None) -> dict:
+    """Per-block trace-bound detection (cons_sdp.c:4903-4950): a linear
+    row whose variables are exactly the unique diagonal covers of block k,
+    all with coefficient 1, bounds the trace; then
+    |X_st| <= (X_ss + X_tt)/2 <= tracebound/2 tightens off-diagonals
+    beyond the sqrt(diag-product) bound.  Stricter than the reference's
+    match (which only checks that each row variable covers SOME diagonal):
+    here every diagonal must be covered with coefficient 1 and zero
+    constant, so  trace = sum(row vars)  holds exactly and tracebound/2
+    is sound.  Returns {block index: tracebound}."""
+    if view is None:
+        view = matrix_view(prob)
+    out = {}
+    D = prob.lp.dense(prob.nvars)
+    rhs = prob.lp.rhs
+    if prob.proprows is not None and prob.proprows.nrows:
+        D = np.concatenate([D, prob.proprows.dense(prob.nvars)], axis=0)
+        rhs = np.concatenate([rhs, prob.proprows.rhs])
+    if D.shape[0] == 0:
+        return out
+    for k, blk in enumerate(prob.blocks):
+        diagvars = set()
+        ok = True
+        for i in range(blk.size):
+            ent = view.get((k, i, i))
+            if (ent is None or ent[0] < 0 or abs(ent[1] - 1.0) > 1e-9
+                    or abs(ent[2]) > 1e-9):
+                ok = False
+                break
+            diagvars.add(ent[0])
+        if not ok or len(diagvars) != blk.size:
+            continue
+        for r in range(D.shape[0]):
+            nz = np.where(np.abs(D[r]) > 1e-12)[0]
+            if (len(nz) == blk.size
+                    and np.allclose(D[r, nz], 1.0, atol=1e-9)
+                    and set(int(j) for j in nz) == diagvars
+                    and rhs[r] < INF / 2):
+                out[k] = float(rhs[r])
+                break
+    return out
+
+
 def propagate_upper_bounds(prob: MISDP, lb: np.ndarray, ub: np.ndarray,
                            view=None, feastol: float = 1e-9) -> int:
     """propagateUpperBounds (cons_sdp.c:4868): PSD implies
     |X_st| <= sqrt(X_ss X_tt); with uniquely-covered entries this tightens
-    the covering variables' bounds.  Also X_ss >= 0 for diagonal entries.
+    the covering variables' bounds.  Also X_ss >= 0 for diagonal entries,
+    and |X_st| <= tracebound/2 when a trace constraint is detected
+    (cons_sdp.c:4903-4950,5053-5066).
     Returns the number of tightenings (modifies lb/ub in place)."""
     if view is None:
         view = matrix_view(prob)
+    tbs = trace_bounds(prob, view)
     n = 0
     for k, blk in enumerate(prob.blocks):
         # diagonal entries are nonnegative
@@ -214,10 +260,20 @@ def propagate_upper_bounds(prob: MISDP, lb: np.ndarray, ub: np.ndarray,
                 if key not in view:
                     continue
                 v, c, d = view[key]
-                if v < 0 or not np.isfinite(diag_hi[s]) \
-                        or not np.isfinite(diag_hi[t]):
+                tb = tbs.get(k, -1.0)
+                if v < 0 or ((not np.isfinite(diag_hi[s])
+                              or not np.isfinite(diag_hi[t]))
+                             and tb <= 0.0):
                     continue
-                bound = np.sqrt(max(diag_hi[s], 0.0) * max(diag_hi[t], 0.0))
+                if np.isfinite(diag_hi[s]) and np.isfinite(diag_hi[t]):
+                    bound = np.sqrt(max(diag_hi[s], 0.0)
+                                    * max(diag_hi[t], 0.0))
+                else:
+                    bound = np.inf
+                # trace bound: X_ss + X_tt <= trace <= tb, and PSD of the
+                # 2x2 minor gives |X_st| <= (X_ss + X_tt)/2
+                if tb > 0.0 and tb / 2.0 < bound:
+                    bound = tb / 2.0
                 # -bound <= c*y - d <= bound
                 hi_y = (bound + d) / c if c > 0 else (-bound + d) / c
                 lo_y = (-bound + d) / c if c > 0 else (bound + d) / c

@@ -107,7 +107,8 @@ def _branch_scores(y, frac, obj, rule):
 
 
 def make_round(settings: Settings, integral: np.ndarray, B: int,
-               ind_pairs: Optional[np.ndarray] = None, mesh=None):
+               ind_pairs: Optional[np.ndarray] = None, mesh=None,
+               check_feastol: Optional[float] = None):
     """Build the single-round function over (IPMData, TurboState).
 
     The problem data is a TRACED argument (not a closure): the jitted
@@ -121,6 +122,9 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
     cons_indicator roles)."""
     bb = settings.bb
     feastol = bb.feastol
+    # solution-check PSD tolerance; DIMACS-scaled when
+    # bb.usedimacsfeastol (cons_sdp.c:703-710)
+    chktol = feastol if check_feastol is None else float(check_feastol)
     m = int(integral.shape[0])
     mp = m + 1
     integral_d = jnp.asarray(integral)
@@ -170,7 +174,7 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
             dm = data.dimmask[t]
             outer = dm[:, :, None] & dm[:, None, :]
             eye = jnp.eye(Z.shape[-1], dtype=Z.dtype)
-            Zs = jnp.where(outer[None], Z + feastol * eye, eye)
+            Zs = jnp.where(outer[None], Z + chktol * eye, eye)
             L = jnp.linalg.cholesky(Zs.astype(jnp.float32))
             ok = ok & ~jnp.any(jnp.isnan(L), axis=(1, 2, 3))
         Gy = jnp.einsum("pm,xm->xp", data.G, yx)
@@ -407,11 +411,25 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
                 lambda s: s, st)
 
         st = jax.lax.fori_loop(0, k, one, st)
+        # EVERYTHING the host needs — loop control AND the end-of-solve
+        # scalars — packed into one vector: each separate np.asarray fetch
+        # costs a full relay round-trip (~29 ms measured, profile_turbo2),
+        # so the old 11-fetch result tail cost more than 4 B&B rounds
+        open_bound = jnp.min(jnp.where(st.fvalid, st.fbound, jnp.inf))
         summary = jnp.stack([
             jnp.any(st.fvalid).astype(jnp.float64),
             st.overflow.astype(jnp.float64),
             st.nunsolved.astype(jnp.float64),
             st.nodes.astype(jnp.float64),
+            st.rounds.astype(jnp.float64),
+            st.iters.astype(jnp.float64),
+            st.nsolves.astype(jnp.float64),
+            st.nheur.astype(jnp.float64),
+            st.ndirect.astype(jnp.float64),
+            st.npruned_inf.astype(jnp.float64),
+            st.inc_val.astype(jnp.float64),
+            st.has_inc.astype(jnp.float64),
+            open_bound,
         ])
         return st, summary
 
@@ -423,7 +441,7 @@ _CHUNK_CACHE: dict = {}
 
 def _chunk_for(settings: Settings, integral: np.ndarray, B: int,
                data: IPMData, ind_pairs: Optional[np.ndarray] = None,
-               mesh=None):
+               mesh=None, check_feastol: Optional[float] = None):
     """Jitted chunk executable, cached module-wide.  The key is content-
     independent (data is a traced argument): batch width, solver settings,
     integrality pattern, and the data's array signature — so every
@@ -437,10 +455,11 @@ def _chunk_for(settings: Settings, integral: np.ndarray, B: int,
     bb_key = _dc.replace(settings.bb, node_limit=0, time_limit=0.0)
     ind_key = None if ind_pairs is None else ind_pairs.tobytes()
     key = (B, settings.ipm, bb_key, integral.tobytes(), sig, ind_key,
-           mesh_key(mesh))
+           mesh_key(mesh), check_feastol)
     fn = _CHUNK_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(make_round(settings, integral, B, ind_pairs, mesh),
+        fn = jax.jit(make_round(settings, integral, B, ind_pairs, mesh,
+                                check_feastol),
                      static_argnames=("k",))
         while len(_CHUNK_CACHE) >= 32:
             _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
@@ -499,7 +518,10 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
     ind_pairs = (np.asarray([(l.binvar, l.slackvar)
                              for l in prob.indicators], dtype=np.int32)
                  if prob.indicators else None)
-    chunk = _chunk_for(settings, dense.integral, B, data, ind_pairs, mesh)
+    chk = (bb.feastol * (1.0 + float(np.sum(np.abs(dense.obj))))
+           if bb.usedimacsfeastol else None)
+    chunk = _chunk_for(settings, dense.integral, B, data, ind_pairs, mesh,
+                       check_feastol=chk)
 
     if init_nodes is not None:
         K = len(init_nodes)
@@ -552,8 +574,12 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
         key, sub = jax.random.split(key)
         st, summary = chunk(data, st, sub, node_limit,
                             k=rounds_per_dispatch)
-        # one tiny host sync per chunk (a single packed scalar vector)
-        any_valid, overflow, nunsolved, nodes = np.asarray(summary)
+        # one tiny host sync per chunk (a single packed scalar vector
+        # carrying loop control AND the final statistics — the relay
+        # charges a full round-trip per fetch)
+        (any_valid, overflow, nunsolved, nodes, rounds, iters, nsolves,
+         nheur, ndirect, _npruned, inc_val_f, has_inc_f,
+         open_bound) = np.asarray(summary)
         if overflow or nunsolved > 4 * B:
             return None    # host path handles what turbo cannot
         if not any_valid or nodes >= bb.node_limit:
@@ -562,22 +588,20 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
             hit_time = True
             break
 
-    has_inc = bool(st.has_inc)
-    fb = np.asarray(jnp.where(st.fvalid, st.fbound, np.inf))
-    open_bound = float(fb.min()) if fb.size else np.inf
-    inc_val = float(st.inc_val) if has_inc else np.inf
-    dual_bound = min(open_bound, inc_val)
+    has_inc = bool(has_inc_f)
+    inc_val = float(inc_val_f) if has_inc else np.inf
+    dual_bound = min(float(open_bound), inc_val)
     return TurboResult(
         inc_val=inc_val,
         inc_y=(np.asarray(st.inc_y) if has_inc else None),
         dual_bound=dual_bound,
-        nodes=int(st.nodes),
-        rounds=int(st.rounds),
-        iters=int(st.iters),
-        nsolves=int(st.nsolves),
-        nheur=int(st.nheur),
-        ndirect=int(st.ndirect),
-        nunsolved=int(st.nunsolved),
-        hit_node_limit=int(st.nodes) >= bb.node_limit,
+        nodes=int(nodes),
+        rounds=int(rounds),
+        iters=int(iters),
+        nsolves=int(nsolves),
+        nheur=int(nheur),
+        ndirect=int(ndirect),
+        nunsolved=int(nunsolved),
+        hit_node_limit=int(nodes) >= bb.node_limit,
         hit_time_limit=hit_time,
     )

@@ -584,12 +584,30 @@ def ipm_solve(
         GallT_pair = _dd.split64(jnp.swapaxes(Gall, 1, 2))
     # fused direction kernels (ops/fused.py): the whole rhs-assembly /
     # Schur-solve / recovery chain as 3 Mosaic kernels per direction and
-    # bucket instead of ~30 launches.  Only where the per-bucket A image
-    # fits VMEM comfortably — at MXU-filling sizes the launch overhead
-    # this fusion removes no longer dominates and the XLA path is right.
-    _a_bytes = max(int(np.prod(np.shape(data.A[t]))) * 8 for t in range(NB))
+    # bucket instead of ~30 launches.  Only where every kernel's VMEM
+    # residency fits comfortably — operands PLUS in-kernel intermediates,
+    # INCLUDING the batch-scaled buffers (K2's Wall/(B,mp,F) temporaries
+    # alone are ~B/2 x the A image; gating on A only crashed mid-size
+    # batched solves, advisor r3).  At MXU-filling sizes the launch
+    # overhead this fusion removes no longer dominates and the XLA path
+    # is right anyway.
+    _fl = 4   # f32 bytes
+    _P_rows = Gall.shape[1]
+    _F_feat = _P_rows + sum(
+        int(data.A[t].shape[0]) * int(data.A[t].shape[-1]) ** 2
+        for t in range(NB))
+    # K2: Wall + 2 (B,mp,F) product pairs + reduction temps + Minv
+    _k2_bytes = _fl * (4 * B * mp * _F_feat + B * mp * mp + 12 * B * mp)
+    _k13_bytes = 0
+    for _t in range(NB):
+        _Kt, _, _nt, _ = np.shape(data.A[_t])
+        _a_img = 2 * int(_Kt) * mp * int(_nt) ** 2          # hi/lo pair
+        _bkn = B * int(_Kt) * int(_nt) ** 2
+        _k1 = _fl * (_a_img + 9 * _bkn)     # Rc/XRp pairs, Sinv, P pair, out
+        _k3 = _fl * (_a_img + 16 * _bkn)    # + dS/dX pairs, X pair, pad
+        _k13_bytes = max(_k13_bytes, _k1, _k3)
     use_fused = (use_df32 and settings.fused_direction != "off"
-                 and _a_bytes <= 6 * 2**20)
+                 and max(_k2_bytes, _k13_bytes) <= 12 * 2**20)
     if use_fused:
         from scipsdp_tpu.ops import fused as _fu
         A_bkt_pair = bmap(lambda t: _dd.split64(data.A[t]))
@@ -618,15 +636,19 @@ def ipm_solve(
 
     _PROBE_MULTS = (1.0, 2.0, 4.0, 8.0, 16.0)
 
-    def probe_ladder(Xb, Sb, dX, dS, gp, gd):
+    def probe_ladder_scaled(Yxs, Yss, gp, gd):
         """step_rule="probe": certified PSD max-steps from ONE stacked f32
         Cholesky probing a geometric candidate ladder above the Gershgorin
-        base.  The PSD segment {a >= 0 : X + a dX >= 0} is an interval
-        containing 0, so any candidate whose probe factorizes certifies
-        every smaller step too; the largest passing candidate is within 2x
-        of the exact max-step.  Replaces the power iteration + two full
-        probe rounds (measured 10.2 of the refine tier's 11.6 ms/iter on
-        v5e at CLS shapes) with a single stacked kernel per bucket."""
+        base — in the SCALED space: X + a dX >= 0  <=>  I + a Y >= 0 with
+        Y = L^{-1} dX L^{-T}, which stays well-conditioned in f32 even
+        near convergence where cond(X) ~ 1/mu made the direct-space probe
+        NaN spuriously (advisor r3).  The PSD segment
+        {a >= 0 : I + a Y >= 0} is an interval containing 0, so any
+        candidate whose probe factorizes certifies every smaller step too;
+        the largest passing candidate is within 2x of the exact max-step.
+        Replaces the power iteration + two full probe rounds (measured
+        10.2 of the refine tier's 11.6 ms/iter on v5e at CLS shapes) with
+        a single stacked kernel per bucket."""
         f32p = jnp.float32
         capv = 1.0 / settings.tau
         nc = len(_PROBE_MULTS)
@@ -637,14 +659,13 @@ def ipm_solve(
         okx = [jnp.ones((B,), bool) for _ in range(nc)]
         oks = [jnp.ones((B,), bool) for _ in range(nc)]
         for t in range(NB):
-            Xt = Xb[t].astype(f32p)
-            St = Sb[t].astype(f32p)
-            dXt = dX[t].astype(f32p)
-            dSt = dS[t].astype(f32p)
-            Kt = dXt.shape[1]
-            trials = [Xt + cp[k][:, None, None, None] * dXt
+            Yx = Yxs[t].astype(f32p)
+            Ys = Yss[t].astype(f32p)
+            Kt = Yx.shape[1]
+            eyep = jnp.eye(Yx.shape[-1], dtype=f32p)
+            trials = [eyep + cp[k][:, None, None, None] * Yx
                       for k in range(nc)]
-            trials += [St + cd[k][:, None, None, None] * dSt
+            trials += [eyep + cd[k][:, None, None, None] * Ys
                        for k in range(nc)]
             Lp = jnp.linalg.cholesky(jnp.concatenate(trials, axis=1))
             nanb = jnp.any(jnp.isnan(Lp), axis=(2, 3))   # (B, 2*nc*Kt)
@@ -662,6 +683,27 @@ def ipm_solve(
             ap = jnp.where(okx[k], cp[k], ap)
             ad = jnp.where(oks[k], cd[k], ad)
         return ap, ad
+
+    def probe_steps(Lxinv, Lsinv, dX, dS, cast32=False):
+        """PSD max-steps for step_rule="probe": ONE congruence per bucket
+        yields both the Gershgorin base (certified) and the scaled
+        directions the ladder probes — the psd_steps congruence and the
+        probe trials share their work."""
+        Yxs, Yss, gx, gs_ = [], [], [], []
+        for t in range(NB):
+            dXt = dX[t].astype(jnp.float32) if cast32 else dX[t]
+            dSt = dS[t].astype(jnp.float32) if cast32 else dS[t]
+            Yb = ymat(jnp.concatenate([Lxinv[t], Lsinv[t]], axis=1),
+                      jnp.concatenate([dXt, dSt], axis=1))
+            Kt = dX[t].shape[1]
+            stp = gersh_step_from_ymat(Yb)
+            gx.append(jnp.min(stp[:, :Kt], axis=1))
+            gs_.append(jnp.min(stp[:, Kt:], axis=1))
+            Yxs.append(Yb[:, :Kt])
+            Yss.append(Yb[:, Kt:])
+        gp = jnp.min(jnp.stack(gx), axis=0)
+        gd = jnp.min(jnp.stack(gs_), axis=0)
+        return probe_ladder_scaled(Yxs, Yss, gp, gd)
 
     def evaluate(st: IPMState) -> EvalOut:
         """Residuals + duality gap + per-instance convergence (always f64;
@@ -980,8 +1022,7 @@ def ipm_solve(
         dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub = dc
         psd_pair = None
         if settings.step_rule == "probe":
-            gpp, gdp = psd_steps(dX, dS, gersh_step_from_ymat)
-            app, adp = probe_ladder(X, S, dX, dS, gpp, gdp)
+            app, adp = probe_steps(Lxinv, Lsinv, dX, dS)
             psd_pair = (app.astype(dtp), adp.astype(dtp))
         ap, ad = steplens(dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub,
                           psd_ymat_step, psd=psd_pair)
@@ -1381,8 +1422,7 @@ def ipm_solve(
             dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub = dc
             psd_pair = None
             if settings.step_rule == "probe":
-                gpp, gdp = psd_steps(dX, dS, gersh_step_from_ymat)
-                app, adp = probe_ladder(st.X, st.S, dX, dS, gpp, gdp)
+                app, adp = probe_steps(Lxinv, Lsinv, dX, dS, cast32=True)
                 psd_pair = (app.astype(dtype), adp.astype(dtype))
             ap, ad = steplens(dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub,
                               psd_ymat_step, psd=psd_pair)
@@ -1438,8 +1478,18 @@ def ipm_solve(
                     for x, g in zip(cur, dg))
                 (dy2, dX2, dS2, dxl2, dsl2, dxlb2, dslb2, dxub2,
                  dsub2) = cand
+                # the acceptance comparison must judge the corrected
+                # direction by the SAME step rule as the current one —
+                # comparing Gershgorin-rule steps against probe-certified
+                # steps (up to 16x larger) made acc never fire and each
+                # corrector a guaranteed wasted solve (advisor r3)
+                psd2 = None
+                if settings.step_rule == "probe":
+                    a2p, d2p = probe_steps(Lxinv, Lsinv, dX2, dS2,
+                                           cast32=True)
+                    psd2 = (a2p.astype(dtype), d2p.astype(dtype))
                 ap2, ad2 = steplens(dX2, dS2, dxl2, dsl2, dxlb2, dslb2,
-                                    dxub2, dsub2, psd_ymat_step)
+                                    dxub2, dsub2, psd_ymat_step, psd=psd2)
                 ap2 = jnp.minimum(settings.tau * ap2, 1.0)
                 ad2 = jnp.minimum(settings.tau * ad2, 1.0)
                 acc = (ap2 + ad2) >= (ap + ad) + 0.05

@@ -238,6 +238,12 @@ class BBSettings:
     enforcesdp: bool = True
     enforce_after: int = 4         # separation requeues before the exact
                                    # SDP probing solve
+    usedimacsfeastol: bool = False  # scale the solution-check eigenvalue
+                                    # tolerance by 1 + sum |obj_j| (the
+                                    # DIMACS-error convention; cons_sdp.c
+                                    # usedimacsfeastol, :703-710,
+                                    # dimacsfeastol = 1e-5*(1+sum),
+                                    # :7716-7727).  Reference default FALSE
     slatercheck: int = 0           # per-node dual Slater accounting
                                    # (sdpi.c:197 slatercheck: 0 off,
                                    # 1 statistics, 2 statistics + print);

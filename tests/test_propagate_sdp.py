@@ -61,3 +61,67 @@ def test_tighten_bounds_onevar():
     n = tighten_bounds_onevar(prob, lb, ub)
     assert n >= 1
     assert lb[0] >= 4.0 - 1e-4
+
+
+def test_trace_bound_detection():
+    """Trace-bound detection (cons_sdp.c:4903-4950): X = diag-vars y0, y1
+    with off-diagonal y2, plus a row y0 + y1 <= 3.  Without the trace row
+    |y2| <= sqrt(8*8) = 8; the trace bound tightens it to 3/2."""
+    from scipsdp_tpu.core.propagate import trace_bounds
+    from scipsdp_tpu.models.problem import LinearConstraints
+
+    blk = SDPBlock(size=2, var=[0, 1, 2], row=[0, 1, 1], col=[0, 1, 0],
+                   val=[1.0, 1.0, 1.0], const_row=[], const_col=[],
+                   const_val=[])
+    lp = LinearConstraints.from_rows([([0, 1], [1.0, 1.0], -INF, 3.0)])
+    prob = MISDP(nvars=3, obj=np.zeros(3),
+                 lb=np.array([-INF, -INF, -INF]),
+                 ub=np.array([8.0, 8.0, INF]),
+                 integral=np.zeros(3, bool), blocks=[blk],
+                 lp=lp, name="tb")
+    tbs = trace_bounds(prob)
+    assert tbs == {0: 3.0}
+    lb, ub = prob.lb.copy(), prob.ub.copy()
+    propagate_upper_bounds(prob, lb, ub)
+    assert abs(ub[2] - 1.5) < 1e-9 and abs(lb[2] + 1.5) < 1e-9
+
+
+def test_trace_bound_not_detected():
+    """A row with a non-unit coefficient or missing a diagonal variable is
+    NOT a trace bound (the strict-match conditions)."""
+    from scipsdp_tpu.core.propagate import trace_bounds
+    from scipsdp_tpu.models.problem import LinearConstraints
+
+    blk = SDPBlock(size=2, var=[0, 1, 2], row=[0, 1, 1], col=[0, 1, 0],
+                   val=[1.0, 1.0, 1.0], const_row=[], const_col=[],
+                   const_val=[])
+    for rows in ([([0, 1], [1.0, 2.0], -INF, 3.0)],      # coef != 1
+                 [([0, 2], [1.0, 1.0], -INF, 3.0)],      # wrong var set
+                 [([0], [1.0], -INF, 3.0)],              # too few vars
+                 [([0, 1], [1.0, 1.0], 1.0, INF)]):      # no finite rhs
+        lp = LinearConstraints.from_rows(rows)
+        prob = MISDP(nvars=3, obj=np.zeros(3),
+                     lb=np.array([-INF, -INF, -INF]),
+                     ub=np.array([8.0, 8.0, INF]),
+                     integral=np.zeros(3, bool), blocks=[blk],
+                     lp=lp, name="tbn")
+        assert trace_bounds(prob) == {}
+
+
+def test_trace_bound_without_diag_ubs():
+    """The trace bound applies even when the diagonal upper bounds are
+    infinite (the sqrt-product bound alone is useless there)."""
+    from scipsdp_tpu.models.problem import LinearConstraints
+
+    blk = SDPBlock(size=2, var=[0, 1, 2], row=[0, 1, 1], col=[0, 1, 0],
+                   val=[1.0, 1.0, 1.0], const_row=[], const_col=[],
+                   const_val=[])
+    lp = LinearConstraints.from_rows([([0, 1], [1.0, 1.0], -INF, 5.0)])
+    prob = MISDP(nvars=3, obj=np.zeros(3),
+                 lb=np.array([-INF, -INF, -INF]),
+                 ub=np.array([INF, INF, INF]),
+                 integral=np.zeros(3, bool), blocks=[blk],
+                 lp=lp, name="tbinf")
+    lb, ub = prob.lb.copy(), prob.ub.copy()
+    propagate_upper_bounds(prob, lb, ub)
+    assert abs(ub[2] - 2.5) < 1e-9 and abs(lb[2] + 2.5) < 1e-9

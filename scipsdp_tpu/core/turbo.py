@@ -181,6 +181,8 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
         ok = ok & jnp.all(Gy >= data.h[None] - feastol, axis=1)
         return ok
 
+    psd_feasible = jax.named_scope("tb_psdfeas")(psd_feasible)
+
     def round_fn(data: IPMData, st: TurboState, key) -> TurboState:
         obj = data.b_base[:m]
         N = st.fvalid.shape[0]
@@ -219,10 +221,11 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
         bmat = shard_nodes(
             jnp.broadcast_to(data.b_base[None], (B, mp)) + 0.0)
 
-        out = ipm_solve(data, bmat, lbx, ubx,
-                        warm_y=shard_nodes(warm_y) if warm_on else None,
-                        warm_mask=warm_ok if warm_on else None,
-                        settings=ipms)
+        with jax.named_scope("tb_relax"):
+            out = ipm_solve(data, bmat, lbx, ubx,
+                            warm_y=shard_nodes(warm_y) if warm_on else None,
+                            warm_mask=warm_ok if warm_on else None,
+                            settings=ipms)
         status = out.status
         y = out.y[:, :m]
         bound = out.dobj
@@ -244,6 +247,7 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
             proved = (failed0 & (outp.status == OPT) & (outp.r > margin))
             return jnp.where(proved, INFEAS, status), nsolves + 1
 
+        probe = jax.named_scope("tb_probe_rung")(probe)
         status, nsolves = jax.lax.cond(
             jnp.any(failed0), probe, lambda a: a, (status, st.nsolves + 1))
 
@@ -391,6 +395,8 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
             npruned_inf=st.npruned_inf + jnp.sum(infeas).astype(jnp.int32),
             overflow=overflow,
         )
+
+    round_fn = jax.named_scope("tb_round")(round_fn)
 
     def chunk_fn(data: IPMData, st: TurboState, key, node_limit, k: int):
         """K rounds per dispatch; idle rounds (empty frontier) are skipped

@@ -764,6 +764,10 @@ def ipm_solve(
         return EvalOut(Rp=Rp, rpl=rpl, rplb=rplb, rpub=rpub, rd=rd, gap=gap,
                        relgap=relgap, pinf=pinf, dinf=dinf, conv=conv)
 
+    # profiler attribution (named_scope shows up as tf_op in device traces)
+    evaluate = jax.named_scope("ev64")(evaluate)
+    probe_steps = jax.named_scope("probe_step")(probe_steps)
+
     def cond(carry):
         st, _ = carry
         return (st.it < settings.max_iters) & ~jnp.all(st.done)
@@ -1061,6 +1065,8 @@ def ipm_solve(
                 up(dxl), up(dsl), up(dxlb), up(dslb), up(dxub), up(dsub),
                 up(ap), up(ad))
 
+    iter_products = jax.named_scope("prod_plain")(iter_products)
+
     def iter_products_refine(st: IPMState, ev: EvalOut):
         """f32-factorization / f64-assembly Mehrotra pass ("refine" mode).
 
@@ -1082,10 +1088,18 @@ def ipm_solve(
             def chol_inv(t):
                 Kt = X32[t].shape[1]
                 both = jnp.concatenate([X32[t], S32[t]], axis=1)
+                # NOTE an f32 NaN here (cond beyond f32, typically near
+                # convergence or under penalty divergence) is handled by
+                # the nan32 one-iteration f64 repair in ``body``.  Both a
+                # floored-f32 refactor and an exact f64 factor cast to f32
+                # were tried here instead: the affected instances stall
+                # either way — they need the f64 downstream (Schur/W/
+                # recovery) too, i.e. exactly the repair branch.
                 L = _chol(both, settings)
                 Linv = _tril_inv(L, settings)
                 return (Linv[:, :Kt], Linv[:, Kt:])
 
+            chol_inv = jax.named_scope("rf_cholinv")(chol_inv)
             LXS = bmap(chol_inv)
             Lxinv = tuple(v[0] for v in LXS)
             Lsinv = tuple(v[1] for v in LXS)
@@ -1225,6 +1239,8 @@ def ipm_solve(
                     dy = dy + precond(r)
                 return jnp.where(pre.fix, 0.0, dy)
 
+            schur_solve = jax.named_scope("rf_schur_solve")(schur_solve)
+
             # X * Rp is direction-independent: hoisted out of direction()
             XRp = bmap(lambda t: mm_f64(st.X[t], ev.Rp[t]))
             if use_fused:
@@ -1326,6 +1342,8 @@ def ipm_solve(
                 dxub = jnp.where(pre.ubmask,
                                  (rcub - st.xub * dsub) / st.sub, 0.0)
                 return dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub
+
+            direction = jax.named_scope("rf_direction")(direction)
 
             if settings.step_rule == "power":
                 psd_ymat_step = max_step_from_ymat
@@ -1532,6 +1550,7 @@ def ipm_solve(
 
             return (dy, dX, dS, dxl, dsl, dxlb, dslb, dxub, dsub, ap, ad)
 
+    iter_products_refine = jax.named_scope("refine")(iter_products_refine)
     track_pre = settings.preopt_gap > 0.0
 
     def body(carry):
@@ -1579,11 +1598,24 @@ def ipm_solve(
             bad = bad | jnp.any(jnp.isnan(dX[t]), axis=(1, 2, 3))
         if use_phase32:
             # a NaN from the f32/refine branch is a PRECISION failure, not
-            # a solve failure: skip the update and escalate the batch to
-            # the f64 branch from the next iteration on
+            # a solve failure: skip the update and run the next iteration
+            # in the f64 branch.  The escalation is a one-iteration REPAIR,
+            # not a permanent tier change: nan32 clears after each f64
+            # iteration, so the batch drops back to the ~8x-cheaper refine
+            # tier (a sticky nan32 measured 364 ms of a 901 ms CLS B=8
+            # turbo chunk spent in emulated-f64 iterations; worst case of
+            # ping-ponging is one wasted f32 iteration per f64 one)
             soft = bad & use32 & ~st.done
-            failed = st.failed | (bad & ~use32 & ~st.done)
-            nan32 = st.nan32 | soft
+            if getattr(settings, "nan32_policy", "repair") == "fail":
+                # hand NaN'd instances straight to the recovery ladder
+                # (turbo probe rung / host ladder) instead of re-running
+                # the batch in emulated f64
+                failed = st.failed | (bad & ~st.done)
+                nan32 = st.nan32
+            else:
+                failed = st.failed | (bad & ~use32 & ~st.done)
+                nan32 = jnp.where(use32, st.nan32 | soft,
+                                  jnp.zeros_like(st.nan32))
         else:
             failed = st.failed | (bad & ~st.done)
             nan32 = st.nan32

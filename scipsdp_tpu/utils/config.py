@@ -86,6 +86,11 @@ class IPMSettings:
     # without a ``stall_factor`` merit (relgap+pinf+dinf) improvement
     stall_factor: float = 0.8
     stall_window: int = 15
+    # what to do when an f32/refine direction NaNs (cond beyond f32):
+    # "repair" = one emulated-f64 iteration, then back to the f32 tier;
+    # "fail"   = mark the instance FAILED (recovery ladder / turbo probe
+    #            rung takes over)
+    nan32_policy: str = "repair"
     tau: float = 0.95              # fraction-to-boundary step factor
     #   (an adaptive tau->0.98 tail rule was measured NET NEGATIVE:
     #   example_small 30->63 iterations with extra ladder rungs)

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from scipsdp_tpu.models.problem import MISDP, DenseSDPData
-from scipsdp_tpu.ops.ipm import IPMData, build_ipm_data, ipm_solve
+from scipsdp_tpu.ops.ipm import (IPMData, build_ipm_data, ipm_solve,
+                                 _chol_probe as _ipm_chol_probe)
 from scipsdp_tpu.utils.config import Settings
 from scipsdp_tpu.utils.status import SolverResultStatus
 
@@ -175,7 +176,7 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
             outer = dm[:, :, None] & dm[:, None, :]
             eye = jnp.eye(Z.shape[-1], dtype=Z.dtype)
             Zs = jnp.where(outer[None], Z + chktol * eye, eye)
-            L = jnp.linalg.cholesky(Zs.astype(jnp.float32))
+            L = _ipm_chol_probe(Zs.astype(jnp.float32), ipms)
             ok = ok & ~jnp.any(jnp.isnan(L), axis=(1, 2, 3))
         Gy = jnp.einsum("pm,xm->xp", data.G, yx)
         ok = ok & jnp.all(Gy >= data.h[None] - feastol, axis=1)

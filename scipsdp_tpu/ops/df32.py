@@ -166,6 +166,60 @@ def dd_bmm(Ah, Al, Bh, Bl):
         )(Ah, Al, Bh, Bl)
 
 
+def _bmm_lanes_kernel(n_live, ah_ref, al_ref, bh_ref, bl_ref,
+                      ch_ref, cl_ref):
+    """Lanes-batched double-single matmul: refs are (n, n, L) with the
+    matrix index on the 128-lane axis.  One rank-1 dd-MAC per step over
+    the shared contraction index — all 128 matrices advance together
+    (the per-matrix grid variant costs ~5 us/matrix at n=43; this one
+    ~0.05 us/matrix, same arithmetic)."""
+    n = ah_ref.shape[0]
+
+    def body(c, carry):
+        sh, sl = carry
+        avh = ah_ref[:, pl.ds(c, 1), :]          # (n, 1, L)
+        avl = al_ref[:, pl.ds(c, 1), :]
+        bvh = bh_ref[pl.ds(c, 1), :, :]          # (1, n, L)
+        bvl = bl_ref[pl.ds(c, 1), :, :]
+        return _dd_mac(sh, sl, avh, avl, bvh, bvl)
+
+    z = jnp.zeros(ah_ref.shape, jnp.float32)
+    sh, sl = jax.lax.fori_loop(0, n_live, body, (z, z))
+    ch_ref[:] = sh
+    cl_ref[:] = sl
+
+
+_LANES = 128
+
+
+def _dd_bmm_lanes(Ah, Al, Bh, Bl):
+    """(G, n, n) dd matmul via the lanes kernel (zero padding is inert
+    in a matmul)."""
+    G, n, _ = Ah.shape
+    n_p = ((max(n, 8) + 7) // 8) * 8
+    G_p = ((max(G, _LANES) + _LANES - 1) // _LANES) * _LANES
+
+    def prep(X):
+        Xt = jnp.transpose(X, (1, 2, 0))
+        out = jnp.zeros((n_p, n_p, G_p), jnp.float32)
+        return out.at[:n, :n, :G].set(Xt)
+
+    spec = pl.BlockSpec((n_p, n_p, _LANES), lambda g: (0, 0, g),
+                        memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        Ch, Cl = pl.pallas_call(
+            functools.partial(_bmm_lanes_kernel, n),
+            grid=(G_p // _LANES,),
+            in_specs=[spec] * 4,
+            out_specs=[spec] * 2,
+            out_shape=[jax.ShapeDtypeStruct((n_p, n_p, G_p),
+                                            jnp.float32)] * 2,
+            interpret=_use_interpret(),
+        )(prep(Ah), prep(Al), prep(Bh), prep(Bl))
+    return (jnp.transpose(Ch[:n, :n, :G], (2, 0, 1)),
+            jnp.transpose(Cl[:n, :n, :G], (2, 0, 1)))
+
+
 def _short_math(mh, ml, vh, vl):
     """sum_j M[j, :] * v[0, j] with M (J, F), v (1, J) -> (1, F) pair.
 
@@ -302,8 +356,11 @@ def bmm64(A, B):
     G = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
     Ah, Al = _pair(A)
     Bh, Bl = _pair(B)
-    Ch, Cl = dd_bmm(Ah.reshape(G, n, n), Al.reshape(G, n, n),
-                    Bh.reshape(G, n, n), Bl.reshape(G, n, n))
+    # lanes kernel amortizes over the 128-lane axis; below half-lane
+    # occupancy the per-matrix grid kernel wins (no padding waste)
+    bmm = _dd_bmm_lanes if G >= 64 else dd_bmm
+    Ch, Cl = bmm(Ah.reshape(G, n, n), Al.reshape(G, n, n),
+                 Bh.reshape(G, n, n), Bl.reshape(G, n, n))
     return join64(Ch, Cl).reshape(shape)
 
 

@@ -87,10 +87,14 @@ def _pallas_ok() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _lanes_on(settings: IPMSettings) -> bool:
+    """Lanes-batched factorization kernels enabled (resolved flag, TPU)."""
+    return settings.use_lanes_chol is True and _pallas_ok()
+
+
 def _chol(A: jnp.ndarray, settings: IPMSettings) -> jnp.ndarray:
-    """Batched lower Cholesky; with ``use_pallas`` the f32 instances run
-    the hand-written one-hot column kernel (f64 stays on XLA — Mosaic has
-    no f64).  NaN semantics match potrf (the PSD probes rely on it)."""
+    """Batched lower Cholesky (factor-quality path; see _chol_probe for
+    the lanes-batched probe variant).  NaN semantics match potrf."""
     if settings.use_pallas and A.dtype == jnp.float32 and _pallas_ok():
         from scipsdp_tpu.ops.pallas_kernels import cholesky
         return cholesky(A)
@@ -104,6 +108,19 @@ def _tril_inv(L: jnp.ndarray, settings: IPMSettings) -> jnp.ndarray:
         return tril_inverse(L)
     eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
     return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+
+
+def _chol_probe(A: jnp.ndarray, settings: IPMSettings) -> jnp.ndarray:
+    """Cholesky used ONLY as a PSD probe (the caller tests for NaN and
+    discards the factor): lanes-batched Pallas kernel on TPU, 10-25x the
+    XLA blocked path at IPM shapes.  Factor-quality call sites (chol_inv,
+    the Schur factor) stay on XLA: routing them through the lanes kernel
+    measured +26 extra IPM iterations / +8 nodes on example_CLS — probe
+    decisions tolerate implementation rounding, scaling factors do not."""
+    if A.dtype == jnp.float32 and _lanes_on(settings):
+        from scipsdp_tpu.ops.pallas_kernels import cholesky_lanes
+        return cholesky_lanes(A)
+    return jnp.linalg.cholesky(A)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -663,11 +680,17 @@ def ipm_solve(
             Ys = Yss[t].astype(f32p)
             Kt = Yx.shape[1]
             eyep = jnp.eye(Yx.shape[-1], dtype=f32p)
-            trials = [eyep + cp[k][:, None, None, None] * Yx
+            # certify with a PSD margin: factor I(1-delta) + aY, so a
+            # trial passes only when lambda_min(I + aY) > delta — robust
+            # to f32 rounding differences between Cholesky
+            # implementations (a borderline spurious pass certifies a
+            # too-large step and NaNs the next iterate)
+            eyem = (1.0 - 1e-5) * eyep
+            trials = [eyem + cp[k][:, None, None, None] * Yx
                       for k in range(nc)]
-            trials += [eyep + cd[k][:, None, None, None] * Ys
+            trials += [eyem + cd[k][:, None, None, None] * Ys
                        for k in range(nc)]
-            Lp = jnp.linalg.cholesky(jnp.concatenate(trials, axis=1))
+            Lp = _chol_probe(jnp.concatenate(trials, axis=1), settings)
             nanb = jnp.any(jnp.isnan(Lp), axis=(2, 3))   # (B, 2*nc*Kt)
             for k in range(nc):
                 okx[k] = okx[k] & ~jnp.any(
@@ -1049,7 +1072,7 @@ def ipm_solve(
                     probe = jnp.concatenate(
                         [X[t] + ap[:, None, None, None] * dX[t],
                          S[t] + ad[:, None, None, None] * dS[t]], axis=1)
-                    Lp = jnp.linalg.cholesky(probe)
+                    Lp = _chol_probe(probe, settings)
                     nan_half = jnp.any(jnp.isnan(Lp), axis=(2, 3))
                     okx = okx & ~jnp.any(nan_half[:, :Kt], axis=1)
                     oks = oks & ~jnp.any(nan_half[:, Kt:], axis=1)

@@ -68,9 +68,10 @@ def main():
             continue
         prob = gen()
         objs = {}
-        # warm-up at the smallest batch with a node cap compiles the graphs
-        _ = run_one(prob, batches[0], node_limit=3 * batches[0])
         for batch in batches:
+            # warm-up at THIS batch width compiles the graphs (every
+            # (shape, batch) pair is its own executable)
+            _ = run_one(prob, batch, node_limit=3 * batch)
             res, dt = run_one(prob, batch)
             row = {
                 "family": label, "nvars": prob.nvars, "batch": batch,
@@ -86,6 +87,8 @@ def main():
             objs[batch] = res.objval
             rows.append(row)
             print(json.dumps(row), flush=True)
+            with open(args.out, "w") as f:   # incremental: survive kills
+                json.dump(rows, f, indent=1)
         vals = [v for v in objs.values() if v is not None]
         if vals and (max(vals) - min(vals)) > 1e-6 * max(1.0, abs(vals[0])):
             print(json.dumps({"family": label,

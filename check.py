@@ -172,6 +172,14 @@ def main():
                   f"{'infeasible':>16} {res.stats.nodes:>7} {dt:>7.1f}s  "
                   f"{'ok' if ok else 'FAIL'}")
         else:
+            # Parity tolerance is 1e-4 relative, NOT the 1e-5 solver
+            # feastol: short.solu quotes ~6 significant digits, and on the
+            # rank-1 instances the reference's incumbent convention
+            # (PSD-feasible at 1e-5, quadratic-minor slack <= feastol)
+            # and ours (rank-1 exact, PSD slack inside the 1e-4 DIMACS
+            # band) legitimately differ by ~1e-5 around the same optimum
+            # (measured: 0.65378254 exact-rank-1 vs 0.6537946 quoted;
+            # see core/branchbound.py try_candidate note).
             tol = 1e-4 * max(1.0, abs(expect))
             ok = (res.status == SolveStatus.OPTIMAL
                   and res.objval is not None

@@ -1393,7 +1393,19 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                 # heuristic candidates carry a small
                                 # least-squares completion residual; accept
                                 # at a modestly relaxed tolerance (their
-                                # objective is evaluated exactly)
+                                # objective is evaluated exactly).  NOTE on
+                                # the rank1_primal 1.2e-5 objective gap vs
+                                # the reference: our incumbent is rank-1
+                                # EXACT with PSD slack 9.2e-5 (inside this
+                                # relaxed band), the reference's is PSD-
+                                # feasible at 1e-5 with quadratic-minor
+                                # slack instead — two tolerance
+                                # conventions around the same optimum.  A
+                                # strict-recording variant (only feastol-
+                                # feasible points become incumbents) was
+                                # tried and breaks pruning: the rank-1
+                                # optimum is then never recorded and the
+                                # tree explodes (see round-4 notes).
                                 okp, violp = check_points(
                                     sol.full_iface.data, yp[None, :],
                                     node.lb[None, :], node.ub[None, :],
@@ -1420,9 +1432,19 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                     node_done = True
                                 return True
 
+                            # candidate 0: the relaxation point itself —
+                            # PSD/LP-feasible at solver tolerance by
+                            # construction; acceptable whenever its rank-1
+                            # violation is within feastol.  This mirrors
+                            # the reference's acceptance convention
+                            # (quadratic 2x2-minor conss enforced to
+                            # feastol on a feasible point) and records the
+                            # node-bound objective instead of a completed
+                            # point's slightly-infeasible undershoot
+                            # (0.65378254 vs 0.6537946 on rank1_primal).
                             # candidate 1: sign-enumerating rank-1
                             # completion at the relaxation solution
-                            if try_candidate(
+                            if try_candidate(y) or try_candidate(
                                     r1.rank1_complete(sol.dense, y, obj, viol_fn=lambda yv: sol.violation(yv, node.lb, node.ub))):
                                 pass
                             else:
@@ -1455,7 +1477,8 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                                     if rp.status[di] != int(
                                             SolverResultStatus.OPTIMAL):
                                         continue
-                                    if try_candidate(r1.rank1_project(
+                                    if try_candidate(rp.y[di]) or \
+                                       try_candidate(r1.rank1_project(
                                             sol.dense, rp.y[di])) or \
                                        try_candidate(r1.rank1_complete(
                                             sol.dense, rp.y[di], obj,

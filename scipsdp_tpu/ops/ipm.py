@@ -256,6 +256,7 @@ class PresolveOut(NamedTuple):
     fixed_feasible: jnp.ndarray  # (B,) bool (valid when allfixed)
 
 
+@jax.named_scope("ipm_presolve")
 def presolve(data: IPMData, Gall, hall, rowvalid, lb, ub, feastol, epsfix,
              rounds: int) -> PresolveOut:
     """Vectorized SDPI presolve (sdpi.c:3190-3275, prepareLPData:1131).
@@ -609,17 +610,28 @@ def ipm_solve(
     # overhead this fusion removes no longer dominates and the XLA path
     # is right anyway.
     _fl = 4   # f32 bytes
+
+    def _tile_pad(a: int, b: int) -> int:
+        """VMEM elements of an (.., a, b) buffer: Mosaic tiles the
+        trailing two dims to (8, 128) multiples — an n=10 block costs
+        16*128 elements per matrix, 20x its logical size.  Gating on
+        logical sizes OOM'd the kernel stack at many-small-blocks shapes
+        (MkP: K=46, n=10, B=32 — 16.2 MB > the 16 MB scoped limit)."""
+        return (((a + 7) // 8) * 8) * (((b + 127) // 128) * 128)
+
     _P_rows = Gall.shape[1]
     _F_feat = _P_rows + sum(
         int(data.A[t].shape[0]) * int(data.A[t].shape[-1]) ** 2
         for t in range(NB))
     # K2: Wall + 2 (B,mp,F) product pairs + reduction temps + Minv
-    _k2_bytes = _fl * (4 * B * mp * _F_feat + B * mp * mp + 12 * B * mp)
+    _k2_bytes = _fl * (4 * B * _tile_pad(mp, _F_feat)
+                       + B * _tile_pad(mp, mp) + 12 * B * _tile_pad(1, mp))
     _k13_bytes = 0
     for _t in range(NB):
         _Kt, _, _nt, _ = np.shape(data.A[_t])
-        _a_img = 2 * int(_Kt) * mp * int(_nt) ** 2          # hi/lo pair
-        _bkn = B * int(_Kt) * int(_nt) ** 2
+        _nn = _tile_pad(int(_nt), int(_nt))
+        _a_img = 2 * int(_Kt) * mp * _nn                    # hi/lo pair
+        _bkn = B * int(_Kt) * _nn
         _k1 = _fl * (_a_img + 9 * _bkn)     # Rc/XRp pairs, Sinv, P pair, out
         _k3 = _fl * (_a_img + 16 * _bkn)    # + dS/dX pairs, X pair, pad
         _k13_bytes = max(_k13_bytes, _k1, _k3)

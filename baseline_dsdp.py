@@ -35,8 +35,11 @@ import numpy as np
 import scipy.linalg as sla
 
 rng = np.random.RandomState(0)
+import sys
 n, m = 43, 34
-reps = 200
+if len(sys.argv) > 2:
+    n, m = int(sys.argv[1]), int(sys.argv[2])
+reps = max(3, min(200, int(2e8 / (n * n * m))))
 
 # SPD S, sparse-ish A_j (CLS constraint matrices are sparse; dense here =
 # generous to DSDP)

@@ -42,7 +42,19 @@ CONFIGS = [
      (8, 32, 64, 128)),
     ("tt_10", lambda: truss_topology(10, 2, seed=1), (8, 32, 64)),
     ("tt_14", lambda: truss_topology(14, 3, seed=1), (8, 32, 64)),
+    # production-size tier: block sizes 65-129 where the reference's
+    # per-node cost is O(m n^3 + m^2 n^2) while the TPU's MXU utilization
+    # rises; node_limit caps keep wall time bounded — nodes/s at the cap
+    # is the throughput metric (objective consistency still checked when
+    # both batches finish)
+    ("cls_32", lambda: cardinality_least_squares(32, 64, 8, seed=5),
+     (32, 128)),
+    ("cls_48", lambda: cardinality_least_squares(48, 96, 10, seed=5),
+     (32, 128)),
+    ("cls_64", lambda: cardinality_least_squares(64, 128, 12, seed=5),
+     (32, 128)),
 ]
+NODE_CAPS = {"cls_32": 4000, "cls_48": 2000, "cls_64": 1000}
 
 
 def run_one(prob, batch, node_limit=200_000, time_limit=900.0):
@@ -68,11 +80,12 @@ def main():
             continue
         prob = gen()
         objs = {}
+        cap = NODE_CAPS.get(label, 200_000)
         for batch in batches:
             # warm-up at THIS batch width compiles the graphs (every
             # (shape, batch) pair is its own executable)
             _ = run_one(prob, batch, node_limit=3 * batch)
-            res, dt = run_one(prob, batch)
+            res, dt = run_one(prob, batch, node_limit=cap)
             row = {
                 "family": label, "nvars": prob.nvars, "batch": batch,
                 "status": res.status.name,

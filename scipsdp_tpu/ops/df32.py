@@ -368,7 +368,9 @@ def contract_short64(M, v):
     """einsum('(g)jf,gj->gf') at ~2^-45 accuracy; returns f64."""
     Mh, Ml = _pair(M)
     vh, vl = _pair(v)
-    oh, ol = dd_contract_short(Mh, Ml, vh, vl)
+    fn = (dd_contract_short_lanes if vh.shape[0] >= 64
+          else dd_contract_short)
+    oh, ol = fn(Mh, Ml, vh, vl)
     return join64(oh, ol)
 
 
@@ -376,5 +378,146 @@ def contract_long64(M, v):
     """einsum('(g)jf,gf->gj') at ~2^-45 accuracy; returns f64."""
     Mh, Ml = _pair(M)
     vh, vl = _pair(v)
-    oh, ol = dd_contract_long(Mh, Ml, vh, vl)
+    fn = (dd_contract_long_lanes if vh.shape[0] >= 64
+          else dd_contract_long)
+    oh, ol = fn(Mh, Ml, vh, vl)
     return join64(oh, ol)
+
+
+# ---------------------------------------------------------------------------
+# lanes-batched contractions (instance index on the lane axis)
+# ---------------------------------------------------------------------------
+#
+# The per-instance grid kernels above cost ~0.8 ms per (128, 34, 1916)
+# contraction — each grid cell re-runs the J-loop for ONE instance.  With
+# the instance index on the 128-lane axis all instances advance together;
+# the F axis is chunked through VMEM (a full (34, 1916, 128) pair slab
+# would be 66 MB).
+
+_FC = 128   # F-axis chunk (lanes slab (J, _FC, 128) pairs stay ~2-4 MB)
+
+
+def _contract_short_lanes_kernel(J, mh_ref, ml_ref, vh_ref, vl_ref,
+                                 oh_ref, ol_ref):
+    """out[fc, g] = sum_j M[j, fc, g] * v[j, g] for one F-chunk."""
+    sh = jnp.zeros(oh_ref.shape, jnp.float32)
+    sl = jnp.zeros(oh_ref.shape, jnp.float32)
+
+    def body(j, carry):
+        sh, sl = carry
+        mh = mh_ref[pl.ds(j, 1), :, :][0]          # (FC, G)
+        ml = ml_ref[pl.ds(j, 1), :, :][0]
+        wh = vh_ref[pl.ds(j, 1), :]                # (1, G)
+        wl = vl_ref[pl.ds(j, 1), :]
+        return _dd_mac(sh, sl, mh, ml, wh, wl)
+
+    sh, sl = jax.lax.fori_loop(0, J, body, (sh, sl))
+    oh_ref[:] = sh
+    ol_ref[:] = sl
+
+
+def _contract_long_lanes_kernel(J, mh_ref, ml_ref, vh_ref, vl_ref,
+                                oh_ref, ol_ref):
+    """out[j, g] += sum_fc M[j, fc, g] * v[fc, g]; the (J, G) output is
+    revisited across F-chunk grid steps and dd-accumulated in place."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        oh_ref[:] = jnp.zeros(oh_ref.shape, jnp.float32)
+        ol_ref[:] = jnp.zeros(ol_ref.shape, jnp.float32)
+
+    vh = vh_ref[:]                                  # (FC, G)
+    vl = vl_ref[:]
+
+    def body(j, carry):
+        mh = mh_ref[pl.ds(j, 1), :, :][0]           # (FC, G)
+        ml = ml_ref[pl.ds(j, 1), :, :][0]
+        ph, pe = _two_prod(mh, vh)
+        pe = pe + (mh * vl + ml * vh)
+        rh, re = _dd_reduce(ph, pe, axis=0)         # (G,)
+        oh = oh_ref[pl.ds(j, 1), :]
+        ol = ol_ref[pl.ds(j, 1), :]
+        nh, e1 = _two_sum(oh, rh[None, :])
+        oh_ref[pl.ds(j, 1), :] = nh
+        ol_ref[pl.ds(j, 1), :] = ol + e1 + re[None, :]
+        return carry
+
+    jax.lax.fori_loop(0, J, body, 0)
+
+
+def _prep_lanes_m(Mh, Ml, G, J, F, F_p):
+    """(G, J, F) or (J, F) static -> (J, F_p, G_p) pair slabs."""
+    G_p = ((G + _LANES - 1) // _LANES) * _LANES
+
+    def prep(X):
+        if X.ndim == 2:      # static M: broadcast over lanes
+            Xt = jnp.broadcast_to(X[:, :, None], (J, F, G))
+        else:
+            Xt = jnp.transpose(X, (1, 2, 0))
+        out = jnp.zeros((J, F_p, G_p), jnp.float32)
+        return out.at[:, :F, :G].set(Xt)
+
+    return prep(Mh), prep(Ml), G_p
+
+
+def _prep_lanes_v(vh, vl, G, D, G_p, D_p=None):
+    """(G, D) -> (D_p, G_p) zero-padded transpose (D_p: padded leading
+    dim when the kernel grid blocks over it, e.g. the long contract's
+    F axis)."""
+    D_p = D if D_p is None else D_p
+
+    def prep(X):
+        out = jnp.zeros((D_p, G_p), jnp.float32)
+        return out.at[:D, :G].set(X.T)
+    return prep(vh), prep(vl)
+
+
+def dd_contract_short_lanes(Mh, Ml, vh, vl):
+    """out[g, f] = sum_j M[(g,)j,f] * v[g,j] — lanes variant."""
+    G, J = vh.shape
+    F = Mh.shape[-1]
+    F_p = ((F + _FC - 1) // _FC) * _FC
+    Mhp, Mlp, G_p = _prep_lanes_m(Mh, Ml, G, J, F, F_p)
+    vhp, vlp = _prep_lanes_v(vh, vl, G, J, G_p)
+    mspec = pl.BlockSpec((J, _FC, _LANES), lambda c, g: (0, c, g),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((J, _LANES), lambda c, g: (0, g),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((_FC, _LANES), lambda c, g: (c, g),
+                         memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        oh, ol = pl.pallas_call(
+            functools.partial(_contract_short_lanes_kernel, J),
+            grid=(F_p // _FC, G_p // _LANES),
+            in_specs=[mspec, mspec, vspec, vspec],
+            out_specs=[ospec, ospec],
+            out_shape=[jax.ShapeDtypeStruct((F_p, G_p), jnp.float32)] * 2,
+            interpret=_use_interpret(),
+        )(Mhp, Mlp, vhp, vlp)
+    return oh[:F, :G].T, ol[:F, :G].T
+
+
+def dd_contract_long_lanes(Mh, Ml, vh, vl):
+    """out[g, j] = sum_f M[(g,)j,f] * v[g,f] — lanes variant."""
+    G, F = vh.shape
+    J = Mh.shape[-2]
+    F_p = ((F + _FC - 1) // _FC) * _FC
+    Mhp, Mlp, G_p = _prep_lanes_m(Mh, Ml, G, J, F, F_p)
+    vhp, vlp = _prep_lanes_v(vh, vl, G, F, G_p, D_p=F_p)
+    mspec = pl.BlockSpec((J, _FC, _LANES), lambda c, g: (0, c, g),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((_FC, _LANES), lambda c, g: (c, g),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((J, _LANES), lambda c, g: (0, g),
+                         memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        oh, ol = pl.pallas_call(
+            functools.partial(_contract_long_lanes_kernel, J),
+            grid=(F_p // _FC, G_p // _LANES),
+            in_specs=[mspec, mspec, vspec, vspec],
+            out_specs=[ospec, ospec],
+            out_shape=[jax.ShapeDtypeStruct((J, G_p), jnp.float32)] * 2,
+            interpret=_use_interpret(),
+        )(Mhp, Mlp, vhp, vlp)
+    return oh[:, :G].T, ol[:, :G].T

@@ -627,15 +627,22 @@ def ipm_solve(
     _k2_bytes = _fl * (4 * B * _tile_pad(mp, _F_feat)
                        + B * _tile_pad(mp, mp) + 12 * B * _tile_pad(1, mp))
     _k13_bytes = 0
+    _pad_ok = True
     for _t in range(NB):
         _Kt, _, _nt, _ = np.shape(data.A[_t])
         _nn = _tile_pad(int(_nt), int(_nt))
+        # tiny blocks tile-pad catastrophically (n=10 -> (16,128): 20x its
+        # logical size) and the kernels' internal temporaries then blow
+        # the 16 MB scoped-vmem stack in ways this static estimate cannot
+        # see (observed: 16.2 MB stack at MkP's n=10 shapes while the
+        # operand estimate passed).  Require a sane padding ratio.
+        _pad_ok = _pad_ok and _nn <= 4 * int(_nt) * int(_nt)
         _a_img = 2 * int(_Kt) * mp * _nn                    # hi/lo pair
         _bkn = B * int(_Kt) * _nn
         _k1 = _fl * (_a_img + 9 * _bkn)     # Rc/XRp pairs, Sinv, P pair, out
         _k3 = _fl * (_a_img + 16 * _bkn)    # + dS/dX pairs, X pair, pad
         _k13_bytes = max(_k13_bytes, _k1, _k3)
-    use_fused = (use_df32 and settings.fused_direction != "off"
+    use_fused = (use_df32 and settings.fused_direction != "off" and _pad_ok
                  and max(_k2_bytes, _k13_bytes) <= 12 * 2**20)
     if use_fused:
         from scipsdp_tpu.ops import fused as _fu

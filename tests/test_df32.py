@@ -86,3 +86,54 @@ def test_split_join_roundtrip():
         hi, lo = df32.split64(x)
         back = np.asarray(df32.join64(hi, lo))
     assert _rel(back, x) < 1e-14
+
+
+def test_contract_lanes_math_accuracy():
+    """Eager (IEEE) accuracy of the lanes contraction recurrences; the
+    Mosaic lowering itself is validated on TPU (profile_df32.py) — CPU
+    jit/interpret FMA-contracts the error-free transforms away (see
+    module docstring)."""
+    rng = np.random.default_rng(7)
+    G, J, F = 6, 9, 300
+    M = rng.standard_normal((G, J, F)) * np.exp(rng.uniform(-6, 6, (G, 1, 1)))
+    v_s = rng.standard_normal((G, J))
+    v_l = rng.standard_normal((G, F))
+    Mh, Ml = _split64(np.transpose(M, (1, 2, 0)))
+    with jax.disable_jit():
+        import jax.numpy as jnp
+        # short: out[f, g] = sum_j M[j, f, g] v[j, g]
+        sh = jnp.zeros((F, G)); sl = jnp.zeros((F, G))
+        vh, vl = _split64(v_s.T)
+        for j in range(J):
+            sh, sl = df32._dd_mac(sh, sl, Mh[j], Ml[j],
+                                  vh[j][None, :], vl[j][None, :])
+        got_s = (np.asarray(sh, np.float64) + np.asarray(sl, np.float64)).T
+        # long: out[j, g] = sum_f M[j, f, g] v[f, g]
+        wh, wl = _split64(v_l.T)
+        rows = []
+        for j in range(J):
+            ph, pe = df32._two_prod(Mh[j], wh)
+            pe = pe + (Mh[j] * wl + Ml[j] * wh)
+            rh, re = df32._dd_reduce(ph, pe, axis=0)
+            rows.append(np.asarray(rh, np.float64) + np.asarray(re, np.float64))
+        got_l = np.stack(rows).T
+    assert _rel(got_s, np.einsum("gjf,gj->gf", M, v_s)) < 1e-11
+    assert _rel(got_l, np.einsum("gjf,gf->gj", M, v_l)) < 1e-11
+
+
+def test_contract_lanes_kernels_shapes():
+    """Lanes kernels produce the right contraction (f32 tolerance under
+    CPU interpret; exactness is a TPU-only property)."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(8)
+    G, J, F = 70, 9, 300   # G >= 64 routes through the lanes kernels
+    M = rng.randn(G, J, F)
+    v_s = rng.randn(G, J)
+    v_l = rng.randn(G, F)
+    out_s = np.asarray(df32.contract_short64(jnp.asarray(M), jnp.asarray(v_s)))
+    out_l = np.asarray(df32.contract_long64(jnp.asarray(M), jnp.asarray(v_l)))
+    assert _rel(out_s, np.einsum("gjf,gj->gf", M, v_s)) < 1e-5
+    assert _rel(out_l, np.einsum("gjf,gf->gj", M, v_l)) < 1e-5
+    Ms = M[0]
+    out_s2 = np.asarray(df32.contract_short64(jnp.asarray(Ms), jnp.asarray(v_s)))
+    assert _rel(out_s2, np.einsum("jf,gj->gf", Ms, v_s)) < 1e-5

@@ -198,7 +198,8 @@ class _Solver:
                       lp=prob.lp, indicators=prob.indicators,
                       name=prob.name + "_lp"))
             pairs = [(l.binvar, l.slackvar) for l in prob.indicators]
-            self.iface = SDPInterface(lp_dense, settings, mesh=mesh)
+            self.iface = SDPInterface(lp_dense, settings, mesh=mesh,
+                                      lp_host=True)
             # full data (for separation + feasibility checks)
             self.full_iface = SDPInterface(self.dense, settings,
                                            indicator_pairs=pairs, mesh=mesh)

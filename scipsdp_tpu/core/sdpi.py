@@ -183,7 +183,7 @@ class SDPInterface:
     """
 
     def __init__(self, dense: DenseSDPData, settings: Optional[Settings] = None,
-                 indicator_pairs=None, mesh=None):
+                 indicator_pairs=None, mesh=None, lp_host: bool = False):
         import dataclasses as _dc
 
         from scipsdp_tpu.utils.config import resolve_backend_autos
@@ -198,6 +198,10 @@ class SDPInterface:
                                 preopt_gap=bb.warmstartpreoptgap))
         self.mesh = mesh
         self.dense = dense
+        # LP-outer-approximation mode: node relaxations on the host
+        # simplex (see _solve_batch_lp_host); opt-in by the LP-mode
+        # solver so block-less problems elsewhere keep the IPM ladder
+        self.lp_host = lp_host and len(dense.blocksizes) == 0
         self.data: IPMData = build_ipm_data(dense)
         self.m = dense.nvars
         # mixed precision: fast f32 tier with f64 escalation (the
@@ -509,6 +513,77 @@ class SDPInterface:
 
     # -- main entry --------------------------------------------------------
 
+    def _solve_batch_lp_host(self, lb, ub, bmat, cuts, time_limit):
+        """LP-mode node relaxations on the host (scipy HiGHS).
+
+        The relaxation is  min b^T y  s.t.  G y >= h (+ cut rows),
+        lb <= y <= ub — exactly SCIP's LP relaxation role (the ``none``
+        back-end mode, sdpisolver_none.c + Makefile SDPS=none).  Returns
+        the same BatchSolveResult contract as the IPM path, with HiGHS
+        duals filling the bound-multiplier slots (prop_sdpredcost role).
+        """
+        import time as _time
+        from scipy.optimize import linprog
+        t0 = _time.time()
+        B = lb.shape[0]
+        m = self.m
+        G = np.asarray(self.data.G)[:, :m]
+        h = np.asarray(self.data.h)
+        status = np.full((B,), int(SolverResultStatus.FAILED), np.int32)
+        objval = np.full((B,), np.inf)
+        y = np.zeros((B, m))
+        xl_rows = G.shape[0] if cuts is None else G.shape[0] + cuts[0].shape[1]
+        xl = np.zeros((B, xl_rows))
+        xlb = np.zeros((B, m))
+        xub = np.zeros((B, m))
+        for i in range(B):
+            if lb[i].min() > ub[i].max() + 1e50:   # conflict box marker
+                status[i] = int(SolverResultStatus.PRESOLVED_INFEASIBLE)
+                continue
+            A_ub = -G
+            b_ub = -h
+            if cuts is not None:
+                Gc, hc, cval = cuts
+                v = np.asarray(cval[i], bool)
+                A_ub = np.concatenate([A_ub, -np.asarray(Gc[i, v][:, :m])])
+                b_ub = np.concatenate([b_ub, -np.asarray(hc[i, v])])
+            bounds = list(zip(
+                np.where(lb[i] <= -1e19, -np.inf, lb[i]),
+                np.where(ub[i] >= 1e19, np.inf, ub[i])))
+            res = linprog(bmat[i, :m], A_ub=A_ub, b_ub=b_ub, bounds=bounds,
+                          method="highs")
+            if res.status == 0:
+                status[i] = int(SolverResultStatus.OPTIMAL)
+                objval[i] = float(res.fun)
+                y[i] = res.x
+                # HiGHS marginals: ineqlin <= 0 for <=-rows at optimum of
+                # a min problem; LP-row multipliers are their negatives
+                ng = G.shape[0]
+                try:
+                    mar = -np.asarray(res.ineqlin.marginals)
+                    xl[i, :ng] = np.maximum(mar[:ng], 0.0)
+                    xlb[i] = np.maximum(np.asarray(res.lower.marginals), 0.0)
+                    xub[i] = np.maximum(-np.asarray(res.upper.marginals), 0.0)
+                except Exception:
+                    pass
+            elif res.status == 2:
+                status[i] = int(SolverResultStatus.INFEASIBLE)
+            elif res.status == 3:
+                status[i] = int(SolverResultStatus.UNBOUNDED) if hasattr(
+                    SolverResultStatus, "UNBOUNDED") else int(
+                        SolverResultStatus.FAILED)
+                objval[i] = -np.inf
+            if time_limit is not None and _time.time() - t0 > time_limit:
+                break
+        X = tuple(np.zeros((B,) + tuple(np.asarray(a).shape[:1])
+                           + tuple(np.asarray(a).shape[2:]))
+                  for a in self.data.A)
+        nun = int(np.sum(status == int(SolverResultStatus.FAILED)))
+        return BatchSolveResult(
+            status=status, objval=objval, y=y, X=X, xl=xl, xlb=xlb,
+            xub=xub, iters=0, nsolves=1, npenalty=0, nunsolved=nun,
+            ndirect=int(np.sum(status != int(SolverResultStatus.FAILED))))
+
     def solve_batch(self, lb: np.ndarray, ub: np.ndarray,
                     obj: Optional[np.ndarray] = None,
                     cuts=None, rounding_seed: Optional[int] = None,
@@ -553,6 +628,16 @@ class SDPInterface:
             Gc = np.concatenate(
                 [Gc, np.ones((B, Gc.shape[1], 1))], axis=2)
             cuts = (Gc, hc, cval)
+
+        # pure-LP relaxations (LP outer-approximation mode: no SDP
+        # blocks) solve with a HOST dual simplex (scipy HiGHS) — the
+        # reference solves its LP relaxations with SCIP's simplex, not an
+        # interior-point SDP ladder; driving the batched IPM machinery
+        # for them measured 183 s of a 189 s LP-mode example_TT solve
+        if (self.lp_host and self.settings.bb.lp_host_simplex
+                and warm is None and rounding_seed is None):
+            return self._solve_batch_lp_host(lb, ub, bmat, cuts,
+                                             time_limit)
 
         # one-active-variable fast path (sdpi.c:3301-3381): decided
         # exactly on the host, masked out of the IPM with a conflict box

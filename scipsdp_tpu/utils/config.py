@@ -165,6 +165,12 @@ class BBSettings:
     gaplimit: float = 0.0          # relative B&B gap limit
     node_limit: int = 1_000_000
     time_limit: float = 1e20
+    lp_host_simplex: bool = True   # LP-mode node relaxations via a host
+                                   # dual simplex (scipy HiGHS) instead of
+                                   # the batched IPM — the reference's
+                                   # LPs are solved by SCIP's simplex;
+                                   # the IPM path measured 183 s of a
+                                   # 189 s LP-mode example_TT solve
     # best-first node selection is the reference default because SDP
     # warmstarts are weak (scipsdpdefplugins.c:152-158)
     node_selection: str = "bestbound"

@@ -174,19 +174,23 @@ def _bmm_lanes_kernel(n_live, ah_ref, al_ref, bh_ref, bl_ref,
     (the per-matrix grid variant costs ~5 us/matrix at n=43; this one
     ~0.05 us/matrix, same arithmetic)."""
     n = ah_ref.shape[0]
+    # accumulate IN the output refs (a loop-carried pair would cost two
+    # more full-size VMEM buffers; 8 buffers OOM'd the 16 MB scoped stack
+    # at n_p = 72)
+    ch_ref[:] = jnp.zeros(ah_ref.shape, jnp.float32)
+    cl_ref[:] = jnp.zeros(ah_ref.shape, jnp.float32)
 
     def body(c, carry):
-        sh, sl = carry
         avh = ah_ref[:, pl.ds(c, 1), :]          # (n, 1, L)
         avl = al_ref[:, pl.ds(c, 1), :]
         bvh = bh_ref[pl.ds(c, 1), :, :]          # (1, n, L)
         bvl = bl_ref[pl.ds(c, 1), :, :]
-        return _dd_mac(sh, sl, avh, avl, bvh, bvl)
+        sh, sl = _dd_mac(ch_ref[:], cl_ref[:], avh, avl, bvh, bvl)
+        ch_ref[:] = sh
+        cl_ref[:] = sl
+        return carry
 
-    z = jnp.zeros(ah_ref.shape, jnp.float32)
-    sh, sl = jax.lax.fori_loop(0, n_live, body, (z, z))
-    ch_ref[:] = sh
-    cl_ref[:] = sl
+    jax.lax.fori_loop(0, n_live, body, 0)
 
 
 _LANES = 128
@@ -357,8 +361,12 @@ def bmm64(A, B):
     Ah, Al = _pair(A)
     Bh, Bl = _pair(B)
     # lanes kernel amortizes over the 128-lane axis; below half-lane
-    # occupancy the per-matrix grid kernel wins (no padding waste)
-    bmm = _dd_bmm_lanes if G >= 64 else dd_bmm
+    # occupancy the per-matrix grid kernel wins (no padding waste), and
+    # above n~56 the six (n_p, n_p, 128) VMEM buffers overflow the 16 MB
+    # scoped stack (measured OOM at n_p = 72)
+    n_p = ((max(n, 8) + 7) // 8) * 8
+    bmm = (_dd_bmm_lanes if G >= 64 and 6 * n_p * n_p * 128 * 4 <= 12 * 2**20
+           else dd_bmm)
     Ch, Cl = bmm(Ah.reshape(G, n, n), Al.reshape(G, n, n),
                  Bh.reshape(G, n, n), Bl.reshape(G, n, n))
     return join64(Ch, Cl).reshape(shape)
@@ -394,7 +402,14 @@ def contract_long64(M, v):
 # the F axis is chunked through VMEM (a full (34, 1916, 128) pair slab
 # would be 66 MB).
 
-_FC = 128   # F-axis chunk (lanes slab (J, _FC, 128) pairs stay ~2-4 MB)
+_FC = 128   # default F-axis chunk
+
+
+def _fc_for(J: int) -> int:
+    """F-chunk size so the (J, FC, 128) hi/lo M slabs stay ~<= 7 MB of
+    the 16 MB scoped VMEM (J = mp grows to 130+ at production sizes)."""
+    fc = (7 * 2**20) // (J * 128 * 4 * 2)
+    return max(32, min(_FC, (fc // 32) * 32))
 
 
 def _contract_short_lanes_kernel(J, mh_ref, ml_ref, vh_ref, vl_ref,
@@ -477,14 +492,15 @@ def dd_contract_short_lanes(Mh, Ml, vh, vl):
     """out[g, f] = sum_j M[(g,)j,f] * v[g,j] — lanes variant."""
     G, J = vh.shape
     F = Mh.shape[-1]
-    F_p = ((F + _FC - 1) // _FC) * _FC
+    FC = _fc_for(J)
+    F_p = ((F + FC - 1) // FC) * FC
     Mhp, Mlp, G_p = _prep_lanes_m(Mh, Ml, G, J, F, F_p)
     vhp, vlp = _prep_lanes_v(vh, vl, G, J, G_p)
-    mspec = pl.BlockSpec((J, _FC, _LANES), lambda c, g: (0, c, g),
+    mspec = pl.BlockSpec((J, FC, _LANES), lambda c, g: (0, c, g),
                          memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((J, _LANES), lambda c, g: (0, g),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((_FC, _LANES), lambda c, g: (c, g),
+    ospec = pl.BlockSpec((FC, _LANES), lambda c, g: (c, g),
                          memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         oh, ol = pl.pallas_call(
@@ -502,12 +518,13 @@ def dd_contract_long_lanes(Mh, Ml, vh, vl):
     """out[g, j] = sum_f M[(g,)j,f] * v[g,f] — lanes variant."""
     G, F = vh.shape
     J = Mh.shape[-2]
-    F_p = ((F + _FC - 1) // _FC) * _FC
+    FC = _fc_for(J)
+    F_p = ((F + FC - 1) // FC) * FC
     Mhp, Mlp, G_p = _prep_lanes_m(Mh, Ml, G, J, F, F_p)
     vhp, vlp = _prep_lanes_v(vh, vl, G, F, G_p, D_p=F_p)
-    mspec = pl.BlockSpec((J, _FC, _LANES), lambda c, g: (0, c, g),
+    mspec = pl.BlockSpec((J, FC, _LANES), lambda c, g: (0, c, g),
                          memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((_FC, _LANES), lambda c, g: (c, g),
+    vspec = pl.BlockSpec((FC, _LANES), lambda c, g: (c, g),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((J, _LANES), lambda c, g: (0, g),
                          memory_space=pltpu.VMEM)

@@ -345,6 +345,11 @@ class IPMState(NamedTuple):
     #                          is NOT failed — the precision pick escapes
     #                          to the f64 branch instead (per-solve tier
     #                          escalation, sdpisolver_sdpa.cpp:1416-1441)
+    esc: jnp.ndarray         # (B,) STALLED in the fast (f32/refine) tier
+    #                          and escalated to the stable (f64) tier —
+    #                          sticky until done; a second stall there
+    #                          fails the instance (the reference's
+    #                          fast->stable settings escalation)
 
 
 class SolveOutput(NamedTuple):
@@ -563,6 +568,7 @@ def ipm_solve(
         best_merit=jnp.full((B,), jnp.inf, dtype),
         stall=jnp.zeros((B,), jnp.int32),
         nan32=jnp.zeros((B,), bool),
+        esc=jnp.zeros((B,), bool),
     )
 
     cmax = bmap(lambda t: jnp.max(jnp.abs(data.C[t])))
@@ -1609,7 +1615,8 @@ def ipm_solve(
             use32 = (jnp.all(jnp.where(active,
                                        ev.relgap > settings.refine_switch,
                                        True))
-                     & ~jnp.all(st.done) & ~jnp.any(st.nan32 & active))
+                     & ~jnp.all(st.done) & ~jnp.any(st.nan32 & active)
+                     & ~jnp.any(st.esc & active))
             prods = jax.lax.cond(
                 use32,
                 lambda c: iter_products_refine(c[0], c[1]),
@@ -1624,7 +1631,8 @@ def ipm_solve(
             use32 = (jnp.all(jnp.where(~st.done,
                                        ev.relgap > switch,
                                        True)) & ~jnp.all(st.done)
-                     & ~jnp.any(st.nan32 & ~st.done))
+                     & ~jnp.any(st.nan32 & ~st.done)
+                     & ~jnp.any(st.esc & ~st.done))
             prods = jax.lax.cond(
                 use32,
                 lambda c: iter_products(c[0], c[1], jnp.float32),
@@ -1693,6 +1701,7 @@ def ipm_solve(
             best_merit=st.best_merit,
             stall=st.stall,
             nan32=nan32,
+            esc=st.esc,
         )
         ev_n = evaluate(new)
         conv = ev_n.conv
@@ -1704,7 +1713,18 @@ def ipm_solve(
         best_merit = jnp.where(improved, merit, new.best_merit)
         stall_cnt = jnp.where(improved | new.done, 0, new.stall + 1)
         stalled = stall_cnt >= settings.stall_window
-        failed2 = new.failed | (stalled & ~new.done & ~conv)
+        # fast->stable tier escalation (sdpisolver_sdpa.cpp:1416-1441
+        # role): an instance stalling in the f32/refine tier escalates to
+        # the f64 branch (sticky via ``esc``) with a fresh stall budget;
+        # only a SECOND stall — in the stable tier — fails it.  At n=65
+        # CLS shapes the fast tier's accuracy floor sits above gaptol for
+        # ~30% of node relaxations; failing them flooded the recovery
+        # ladder (148 of 487 nodes unsolved in one turbo chunk).
+        can_esc = (use_refine or use_phase32)
+        esc_now = (stalled & ~new.done & ~conv & ~new.esc) if can_esc \
+            else jnp.zeros_like(stalled)
+        failed2 = new.failed | (stalled & ~new.done & ~conv & ~esc_now)
+        stall_cnt = jnp.where(esc_now, 0, stall_cnt)
         newly_conv = conv & ~new.done & ~failed2
         st_out = new._replace(
             converged=new.converged | newly_conv,
@@ -1712,6 +1732,7 @@ def ipm_solve(
             failed=failed2,
             best_merit=best_merit,
             stall=stall_cnt,
+            esc=new.esc | esc_now,
         )
         if not track_pre:
             return (st_out, ev_n)

@@ -321,10 +321,13 @@ def _lanes_call(kernel, A: jnp.ndarray, interpret: bool,
 def cholesky_lanes(A: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Batched lower Cholesky with the batch on the lane axis (f32; f64
     falls back to XLA).  ~constant cost per 128 matrices at IPM sizes."""
-    if A.dtype == jnp.float64:
+    n = A.shape[-1]
+    n_p = _round_up(max(n, 8), 8)
+    # 2 (n_p, n_p, 128) VMEM buffers (in + in-place out) must fit the
+    # 16 MB scoped stack
+    if A.dtype == jnp.float64 or 2 * n_p * n_p * 128 * 4 > 12 * 2**20:
         return jnp.linalg.cholesky(A)
     lead = A.shape[:-2]
-    n = A.shape[-1]
     L = _lanes_call(_chol_lanes_kernel, A.reshape((-1, n, n)),
                     interpret, scratch=False)
     return L.reshape(lead + (n, n))
@@ -337,12 +340,14 @@ def chol_inverse_lanes(A: jnp.ndarray,
     (f32; f64 falls back to XLA).  Replaces the chol + tril_inverse pair
     in one kernel; NaN lanes mark failed factorizations exactly like
     potrf."""
-    if A.dtype == jnp.float64:
+    n = A.shape[-1]
+    n_p = _round_up(max(n, 8), 8)
+    # 3 (n_p, n_p, 128) VMEM buffers (in + scratch + out) must fit
+    if A.dtype == jnp.float64 or 3 * n_p * n_p * 128 * 4 > 12 * 2**20:
         L = jnp.linalg.cholesky(A)
         eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
         return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
     lead = A.shape[:-2]
-    n = A.shape[-1]
     X = _lanes_call(_cholinv_lanes_kernel, A.reshape((-1, n, n)),
                     interpret, scratch=True)
     return X.reshape(lead + (n, n))

@@ -537,7 +537,9 @@ class SDPInterface:
         xlb = np.zeros((B, m))
         xub = np.zeros((B, m))
         for i in range(B):
-            if lb[i].min() > ub[i].max() + 1e50:   # conflict box marker
+            if np.any(lb[i] > ub[i]):   # conflict/dummy box marker
+                # (lb=1, ub=0 per slot — branchbound.py dummy-slot
+                # convention); skip the LP solve entirely
                 status[i] = int(SolverResultStatus.PRESOLVED_INFEASIBLE)
                 continue
             A_ub = -G

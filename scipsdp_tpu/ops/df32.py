@@ -434,8 +434,11 @@ def _contract_short_lanes_kernel(J, mh_ref, ml_ref, vh_ref, vl_ref,
 def _contract_long_lanes_kernel(J, mh_ref, ml_ref, vh_ref, vl_ref,
                                 oh_ref, ol_ref):
     """out[j, g] += sum_fc M[j, fc, g] * v[fc, g]; the (J, G) output is
-    revisited across F-chunk grid steps and dd-accumulated in place."""
-    c = pl.program_id(0)
+    revisited across F-chunk grid steps and dd-accumulated in place.
+    The F-chunk reduction MUST be the innermost (fastest-varying) grid
+    axis: Pallas TPU only guarantees in-place revisit accumulation for
+    consecutive grid steps on the same output block."""
+    c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _():
@@ -462,18 +465,27 @@ def _contract_long_lanes_kernel(J, mh_ref, ml_ref, vh_ref, vl_ref,
 
 
 def _prep_lanes_m(Mh, Ml, G, J, F, F_p):
-    """(G, J, F) or (J, F) static -> (J, F_p, G_p) pair slabs."""
+    """(G, J, F) or (J, F) static -> (J, F_p, W) pair slabs.
+
+    Static (2D) M materializes ONE 128-lane block (W=_LANES) that the
+    BlockSpec index map re-reads for every lane-block grid step, instead
+    of broadcasting to all G_p lanes — at production shapes a full
+    (J, F_p, G_p) hi/lo slab pair would be hundreds of MB of HBM
+    temporaries per call.  Returns (Mh', Ml', G_p, static)."""
     G_p = ((G + _LANES - 1) // _LANES) * _LANES
+    static = Mh.ndim == 2
+    W = _LANES if static else G_p
 
     def prep(X):
-        if X.ndim == 2:      # static M: broadcast over lanes
-            Xt = jnp.broadcast_to(X[:, :, None], (J, F, G))
-        else:
-            Xt = jnp.transpose(X, (1, 2, 0))
-        out = jnp.zeros((J, F_p, G_p), jnp.float32)
+        if X.ndim == 2:      # static M: one lane block, shared via index map
+            Xt = jnp.broadcast_to(X[:, :, None], (J, F, _LANES))
+            out = jnp.zeros((J, F_p, _LANES), jnp.float32)
+            return out.at[:, :F, :].set(Xt)
+        Xt = jnp.transpose(X, (1, 2, 0))
+        out = jnp.zeros((J, F_p, W), jnp.float32)
         return out.at[:, :F, :G].set(Xt)
 
-    return prep(Mh), prep(Ml), G_p
+    return prep(Mh), prep(Ml), G_p, static
 
 
 def _prep_lanes_v(vh, vl, G, D, G_p, D_p=None):
@@ -494,9 +506,11 @@ def dd_contract_short_lanes(Mh, Ml, vh, vl):
     F = Mh.shape[-1]
     FC = _fc_for(J)
     F_p = ((F + FC - 1) // FC) * FC
-    Mhp, Mlp, G_p = _prep_lanes_m(Mh, Ml, G, J, F, F_p)
+    Mhp, Mlp, G_p, mstatic = _prep_lanes_m(Mh, Ml, G, J, F, F_p)
     vhp, vlp = _prep_lanes_v(vh, vl, G, J, G_p)
-    mspec = pl.BlockSpec((J, FC, _LANES), lambda c, g: (0, c, g),
+    mmap = ((lambda c, g: (0, c, 0)) if mstatic
+            else (lambda c, g: (0, c, g)))
+    mspec = pl.BlockSpec((J, FC, _LANES), mmap,
                          memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((J, _LANES), lambda c, g: (0, g),
                          memory_space=pltpu.VMEM)
@@ -505,7 +519,7 @@ def dd_contract_short_lanes(Mh, Ml, vh, vl):
     with jax.enable_x64(False):
         oh, ol = pl.pallas_call(
             functools.partial(_contract_short_lanes_kernel, J),
-            grid=(F_p // _FC, G_p // _LANES),
+            grid=(F_p // FC, G_p // _LANES),
             in_specs=[mspec, mspec, vspec, vspec],
             out_specs=[ospec, ospec],
             out_shape=[jax.ShapeDtypeStruct((F_p, G_p), jnp.float32)] * 2,
@@ -520,18 +534,23 @@ def dd_contract_long_lanes(Mh, Ml, vh, vl):
     J = Mh.shape[-2]
     FC = _fc_for(J)
     F_p = ((F + FC - 1) // FC) * FC
-    Mhp, Mlp, G_p = _prep_lanes_m(Mh, Ml, G, J, F, F_p)
+    Mhp, Mlp, G_p, mstatic = _prep_lanes_m(Mh, Ml, G, J, F, F_p)
     vhp, vlp = _prep_lanes_v(vh, vl, G, F, G_p, D_p=F_p)
-    mspec = pl.BlockSpec((J, FC, _LANES), lambda c, g: (0, c, g),
+    # grid: lane blocks OUTER, F-chunk reduction INNERMOST — the output
+    # block is revisited across consecutive F-chunk steps only (Pallas
+    # TPU accumulation guarantee; see kernel docstring)
+    mmap = ((lambda g, c: (0, c, 0)) if mstatic
+            else (lambda g, c: (0, c, g)))
+    mspec = pl.BlockSpec((J, FC, _LANES), mmap,
                          memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((FC, _LANES), lambda c, g: (c, g),
+    vspec = pl.BlockSpec((FC, _LANES), lambda g, c: (c, g),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((J, _LANES), lambda c, g: (0, g),
+    ospec = pl.BlockSpec((J, _LANES), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         oh, ol = pl.pallas_call(
             functools.partial(_contract_long_lanes_kernel, J),
-            grid=(F_p // _FC, G_p // _LANES),
+            grid=(G_p // _LANES, F_p // FC),
             in_specs=[mspec, mspec, vspec, vspec],
             out_specs=[ospec, ospec],
             out_shape=[jax.ShapeDtypeStruct((J, G_p), jnp.float32)] * 2,

@@ -119,13 +119,16 @@ class IPMSettings:
     use_pallas: bool = False       # hand-written Pallas TPU kernel for the
                                    # Schur product (else XLA matmul)
     use_lanes_chol: str = "auto"   # lanes-batched Pallas factorizations
-                                   # (batch on the 128-lane axis): f32
-                                   # Cholesky + fused triangular inverse
-                                   # for the X/S factors, probe ladder,
-                                   # Schur factor and feasibility probes.
-                                   # Measured 10-25x vs XLA's blocked
-                                   # per-matrix path at IPM shapes on
-                                   # v5e; "auto" = on for TPU
+                                   # (batch on the 128-lane axis) for PSD
+                                   # PROBE sites only (step ladder,
+                                   # feasibility probes — the caller just
+                                   # tests NaN).  Factor-quality sites
+                                   # (X/S scaling factors, Schur factor)
+                                   # stay on XLA: routing them through
+                                   # the lanes kernel measured +26 IPM
+                                   # iterations on example_CLS.  10-25x
+                                   # vs XLA at probe shapes on v5e;
+                                   # "auto" = on for TPU
     use_df32: str = "auto"         # double-single compensated Pallas
                                    # kernels for the refine tier's exact
                                    # contractions (ops/df32.py) instead of

@@ -137,3 +137,32 @@ def test_contract_lanes_kernels_shapes():
     Ms = M[0]
     out_s2 = np.asarray(df32.contract_short64(jnp.asarray(Ms), jnp.asarray(v_s)))
     assert _rel(out_s2, np.einsum("jf,gj->gf", Ms, v_s)) < 1e-5
+
+
+@pytest.mark.parametrize("G,J,F", [
+    (70, 65, 300),    # J >= 57 drops FC below 128: grid must use FC,
+                      # not the constant _FC (round-4 advisor high)
+    (200, 65, 300),   # G_p = 256 > 128: long-kernel accumulation must
+                      # be innermost-grid-consecutive per output block
+    (130, 9, 130),
+])
+def test_contract_lanes_kernels_large_shapes(G, J, F):
+    """Production-tier shapes for the lanes contraction kernels (J grows
+    to ~130 at cls_48/cls_64; B up to 128+).  Guards the grid-count and
+    accumulation-order bugs found in round 4."""
+    import jax.numpy as jnp
+    assert df32._fc_for(J) < df32._FC or J < 57
+    rng = np.random.RandomState(9)
+    M = rng.randn(G, J, F)
+    v_s = rng.randn(G, J)
+    v_l = rng.randn(G, F)
+    out_s = np.asarray(df32.contract_short64(jnp.asarray(M), jnp.asarray(v_s)))
+    out_l = np.asarray(df32.contract_long64(jnp.asarray(M), jnp.asarray(v_l)))
+    assert _rel(out_s, np.einsum("gjf,gj->gf", M, v_s)) < 1e-5
+    assert _rel(out_l, np.einsum("gjf,gf->gj", M, v_l)) < 1e-5
+    # static (2D) M: shared lane block via index map, no G_p broadcast
+    Ms = M[0]
+    out_s2 = np.asarray(df32.contract_short64(jnp.asarray(Ms), jnp.asarray(v_s)))
+    out_l2 = np.asarray(df32.contract_long64(jnp.asarray(Ms), jnp.asarray(v_l)))
+    assert _rel(out_s2, np.einsum("jf,gj->gf", Ms, v_s)) < 1e-5
+    assert _rel(out_l2, np.einsum("jf,gf->gj", Ms, v_l)) < 1e-5

@@ -23,6 +23,12 @@ example_CLS shapes (one 43x43 block, m = 33 dual variables):
 
 Prints the measured kernel table and the implied nodes/s bracket.
 Run with OPENBLAS_NUM_THREADS=1 for the single-thread figure.
+
+Importable: ``iteration_cost(n, m)`` returns the measured per-iteration
+seconds; ``baseline_nodes_per_s(n, m)`` anchors the absolute level to
+BASELINE.md's 100 nodes/s at the CLS shape (n=43, m=34) and scales it by
+the measured per-size op-mix ratio — the per-size DSDP denominator for
+bench_families.py's ``vs_baseline`` columns.
 """
 
 import os
@@ -34,54 +40,86 @@ os.environ.setdefault("OMP_NUM_THREADS", "1")
 import numpy as np
 import scipy.linalg as sla
 
-rng = np.random.RandomState(0)
-import sys
-n, m = 43, 34
-if len(sys.argv) > 2:
-    n, m = int(sys.argv[1]), int(sys.argv[2])
-reps = max(3, min(200, int(2e8 / (n * n * m))))
-
-# SPD S, sparse-ish A_j (CLS constraint matrices are sparse; dense here =
-# generous to DSDP)
-Q = rng.randn(n, n)
-S = Q @ Q.T + n * np.eye(n)
-A = rng.randn(m, n, n)
-A = A + np.swapaxes(A, 1, 2)
+_CLS_SHAPE = (43, 34)
+_BASELINE_CLS_NODES_PER_S = 100.0   # BASELINE.md "Baseline denominator"
+_cache = {}
 
 
-def timed(f, reps=reps):
-    f()
-    t0 = time.time()
-    for _ in range(reps):
+def _kernels(n, m, verbose=False):
+    rng = np.random.RandomState(0)
+    reps = max(3, min(200, int(2e8 / (n * n * m))))
+
+    # SPD S, sparse-ish A_j (CLS constraint matrices are sparse; dense
+    # here = generous to DSDP)
+    Q = rng.randn(n, n)
+    S = Q @ Q.T + n * np.eye(n)
+    A = rng.randn(m, n, n)
+    A = A + np.swapaxes(A, 1, 2)
+
+    def timed(f, reps=reps):
         f()
-    return (time.time() - t0) / reps
+        t0 = time.time()
+        for _ in range(reps):
+            f()
+        return (time.time() - t0) / reps
+
+    L = np.linalg.cholesky(S)
+    t_chol_s = timed(lambda: np.linalg.cholesky(S))
+    t_solve = timed(lambda: sla.solve_triangular(
+        L, A.reshape(m * n, n).T, lower=True))
+    Wm = rng.randn(m, n * n)
+    t_gram = timed(lambda: Wm @ Wm.T)
+    M = Wm @ Wm.T + m * np.eye(m)
+    t_chol_m = timed(lambda: np.linalg.cholesky(M))
+    rhs = rng.randn(m)
+    t_dy = timed(lambda: sla.cho_solve((np.linalg.cholesky(M), True), rhs))
+    t_probe = timed(lambda: np.linalg.cholesky(S))
+    if verbose:
+        print(f"kernels (ms): chol_S {1e3*t_chol_s:.3f}  feat_solve "
+              f"{1e3*t_solve:.3f}  gram {1e3*t_gram:.3f}  chol_M "
+              f"{1e3*t_chol_m:.3f}  dy {1e3*t_dy:.3f}  probe "
+              f"{1e3*t_probe:.3f}")
+    # one iteration: factor S, feature solves (x2 directions in
+    # predictor-corrector), Schur gram, factor M, 2 solves, 2 line-search
+    # probes
+    return (t_chol_s + 2 * t_solve + t_gram + t_chol_m + 2 * t_dy
+            + 2 * t_probe)
 
 
-L = np.linalg.cholesky(S)
-t_chol_s = timed(lambda: np.linalg.cholesky(S))
-t_solve = timed(lambda: sla.solve_triangular(L, A.reshape(m * n, n).T,
-                                             lower=True))
-W = sla.solve_triangular(L, A.reshape(m * n, n).T, lower=True)
-Wm = rng.randn(m, n * n)
-t_gram = timed(lambda: Wm @ Wm.T)
-M = Wm @ Wm.T + m * np.eye(m)
-t_chol_m = timed(lambda: np.linalg.cholesky(M))
-rhs = rng.randn(m)
-t_dy = timed(lambda: sla.cho_solve((np.linalg.cholesky(M), True), rhs))
-t_probe = timed(lambda: np.linalg.cholesky(S))
+def iteration_cost(n, m, verbose=False):
+    """Measured single-thread DSDP-op-mix seconds per IPM iteration."""
+    key = (int(n), int(m))
+    if key not in _cache:
+        _cache[key] = _kernels(*key, verbose=verbose)
+    return _cache[key]
 
-# one iteration: factor S, feature solves (x2 directions in predictor-
-# corrector), Schur gram, factor M, 2 solves, 2 line-search probes
-t_iter = (t_chol_s + 2 * t_solve + t_gram + t_chol_m + 2 * t_dy
-          + 2 * t_probe)
-print(f"kernels (ms): chol_S {1e3*t_chol_s:.3f}  feat_solve "
-      f"{1e3*t_solve:.3f}  gram {1e3*t_gram:.3f}  chol_M "
-      f"{1e3*t_chol_m:.3f}  dy {1e3*t_dy:.3f}  probe {1e3*t_probe:.3f}")
-print(f"iteration: {1e3*t_iter:.3f} ms")
 
-for iters in (15, 18, 25):
-    # +20% problem-load/interface overhead per node (SCIP-SDP re-loads
-    # bounds/objective per node through the SDPI)
-    t_node = 1.2 * iters * t_iter
-    print(f"  {iters} iters/node -> {1e3*t_node:.1f} ms/node = "
-          f"{1.0/t_node:.0f} nodes/s")
+def baseline_nodes_per_s(n, m):
+    """Per-size DSDP denominator: BASELINE.md's 100 nodes/s at the CLS
+    shape, scaled by the measured per-size iteration-cost ratio (the
+    iteration COUNT is roughly size-independent at fixed gaptol, so the
+    op-mix ratio is the nodes/s ratio)."""
+    t_ref = iteration_cost(*_CLS_SHAPE)
+    t_sz = iteration_cost(n, m)
+    return _BASELINE_CLS_NODES_PER_S * t_ref / t_sz
+
+
+def main():
+    import sys
+    n, m = _CLS_SHAPE
+    if len(sys.argv) > 2:
+        n, m = int(sys.argv[1]), int(sys.argv[2])
+    t_iter = iteration_cost(n, m, verbose=True)
+    print(f"iteration: {1e3*t_iter:.3f} ms")
+    for iters in (15, 18, 25):
+        # +20% problem-load/interface overhead per node (SCIP-SDP
+        # re-loads bounds/objective per node through the SDPI)
+        t_node = 1.2 * iters * t_iter
+        print(f"  {iters} iters/node -> {1e3*t_node:.1f} ms/node = "
+              f"{1.0/t_node:.0f} nodes/s")
+    print(f"anchored per-size baseline: "
+          f"{baseline_nodes_per_s(n, m):.1f} nodes/s")
+
+
+if __name__ == "__main__":
+    main()

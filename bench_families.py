@@ -1,11 +1,26 @@
-"""Family-scale TPU benchmark: nodes/s vs batch width at sizes where the
-tree actually fills wide batches (round-3 verdict: the 39-node
-example_CLS tree at batch 8 cannot demonstrate the throughput thesis).
+"""Family-scale TPU benchmark: nodes/s and time-to-solution vs batch
+width at sizes where the tree actually fills wide batches (round-3
+verdict: the 39-node example_CLS tree at batch 8 cannot demonstrate the
+throughput thesis), with per-size DSDP baselines (round-5 verdict: the
+>=10x claim lives or dies at the production tier, blocks 65-129).
 
 Generates CLS/MkP/TT instances (models/families.py) at sizes whose B&B
 trees hold hundreds+ of live nodes, solves each at several batch widths
 on the live backend, and prints one JSON line per run plus a summary
 table.  Results are recorded in BENCH_FAMILIES.json / PERFORMANCE.md.
+
+Per-row metrics:
+  time_s            — time-to-solution (the honest headline)
+  nodes_per_s       — processed-node throughput (includes speculative
+                      nodes a wide batch expands beyond the B=8 tree)
+  speculation       — nodes / min(nodes across batches for the family):
+                      >1 quantifies the speculative inflation
+  baseline_nodes_per_s / vs_baseline
+                    — per-size single-thread DSDP denominator
+                      (baseline_dsdp.baseline_nodes_per_s: BASELINE.md's
+                      100 nodes/s CLS anchor scaled by the measured
+                      per-size DSDP op-mix cost; sdpisolver_dsdp.c solve
+                      path)
 
 Correctness anchor: families have no reference optima, so each solve
 must (a) finish OPTIMAL with gap 0, and (b) at the smallest batch and
@@ -24,6 +39,7 @@ import scipsdp_tpu
 if jax.default_backend() != "cpu":
     scipsdp_tpu.enable_compilation_cache()
 
+import baseline_dsdp
 from scipsdp_tpu.core.branchbound import solve_misdp
 from scipsdp_tpu.models.families import (cardinality_least_squares,
                                          min_k_partition, truss_topology)
@@ -38,9 +54,13 @@ CONFIGS = [
     ("cls_22", lambda: cardinality_least_squares(22, 44, 7, seed=3),
      (8, 32, 64, 128)),
     ("mkp_10", lambda: min_k_partition(10, 3, 0.7, seed=1), (8, 32, 64)),
-    ("mkp_12", lambda: min_k_partition(12, 3, 0.6, seed=1),
-     (8, 32)),   # B>=64 at this many-small-blocks shape crashed the TPU
-    #              worker (kernel fault, 2026-08-21) — repro pending
+    # round-4's B>=64 TPU kernel fault here was the df32 lanes-kernel
+    # grid bug (grid counted F_p//_FC with _FC=128 while blocks were
+    # FC=96 at J=67 — out-of-spec trailing blocks; fixed round 5 with a
+    # J=65 regression test in tests/test_df32.py), and the 0.32 nodes/s
+    # cliff was turbo bailing to the relay-bound host ladder (fixed by
+    # the in-graph penalty rung, core/turbo.py)
+    ("mkp_12", lambda: min_k_partition(12, 3, 0.6, seed=1), (8, 32, 64)),
     ("tt_10", lambda: truss_topology(10, 2, seed=1), (8, 32, 64)),
     ("tt_14", lambda: truss_topology(14, 3, seed=1), (8, 32, 64)),
     # production-size tier: block sizes 65-129 where the reference's
@@ -80,29 +100,41 @@ def main():
         if only and label not in only:
             continue
         prob = gen()
+        n_blk = max(b.size for b in prob.blocks)
+        base = baseline_dsdp.baseline_nodes_per_s(n_blk, prob.nvars)
         objs = {}
+        fam_rows = []
         cap = NODE_CAPS.get(label, 200_000)
         for batch in batches:
             # warm-up at THIS batch width compiles the graphs (every
             # (shape, batch) pair is its own executable)
             _ = run_one(prob, batch, node_limit=3 * batch)
             res, dt = run_one(prob, batch, node_limit=cap)
+            nps = res.stats.nodes / max(dt, 1e-9)
             row = {
-                "family": label, "nvars": prob.nvars, "batch": batch,
+                "family": label, "nvars": prob.nvars, "nblk": n_blk,
+                "batch": batch,
                 "status": res.status.name,
                 "nodes": res.stats.nodes,
                 "iters": res.stats.ipm_iterations,
                 "rounds": res.stats.relax_solves,
                 "time_s": round(dt, 3),
-                "nodes_per_s": round(res.stats.nodes / max(dt, 1e-9), 2),
+                "nodes_per_s": round(nps, 2),
+                "baseline_nodes_per_s": round(base, 2),
+                "vs_baseline": round(nps / base, 2),
                 "objective": res.objval,
                 "backend": backend,
             }
             objs[batch] = res.objval
+            fam_rows.append(row)
             rows.append(row)
             print(json.dumps(row), flush=True)
             with open(args.out, "w") as f:   # incremental: survive kills
                 json.dump(rows, f, indent=1)
+        # speculative-node inflation vs the family's leanest tree
+        min_nodes = min(r["nodes"] for r in fam_rows)
+        for r in fam_rows:
+            r["speculation"] = round(r["nodes"] / max(min_nodes, 1), 2)
         vals = [v for v in objs.values() if v is not None]
         if vals and (max(vals) - min(vals)) > 1e-6 * max(1.0, abs(vals[0])):
             print(json.dumps({"family": label,
@@ -113,11 +145,13 @@ def main():
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)
     # summary table
-    print("\nfamily      nvars  batch  nodes   time(s)  nodes/s")
+    print("\nfamily      nvars  batch  nodes   time(s)  nodes/s  "
+          "vs_dsdp  spec")
     for r in rows:
         print(f"{r['family']:<11} {r['nvars']:>5} {r['batch']:>6} "
               f"{r['nodes']:>6} {r['time_s']:>8.1f} "
-              f"{r['nodes_per_s']:>8.1f}  {r['status']}")
+              f"{r['nodes_per_s']:>8.1f} {r['vs_baseline']:>8.2f} "
+              f"{r.get('speculation', 1.0):>5.2f}  {r['status']}")
 
 
 if __name__ == "__main__":

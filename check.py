@@ -99,46 +99,18 @@ def run_families(args):
     return 1 if nfail else 0
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--testset", default="short")
-    ap.add_argument("--lp-approx", action="store_true")
-    ap.add_argument("--time-limit", type=float, default=1800.0)
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--families", action="store_true",
-                    help="perf tier: generated CLS/MkP/TT at several "
-                         "sizes; prints a nodes/s scaling table")
-    ap.add_argument("--phase32", default=None,
-                    choices=["off", "on", "refine"],
-                    help="override the IPM mixed-precision mode (A/B aid)")
-    args = ap.parse_args()
-
-    if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-
-    if args.families:
-        return run_families(args)
-
+def run_testset(settings, solu, label=""):
+    """Run every testset instance under ``settings``; returns
+    (nfail, rows) and prints the reference-style table."""
     from scipsdp_tpu.core.branchbound import solve_misdp
     from scipsdp_tpu.models.io import read_problem
-    from scipsdp_tpu.utils.config import BBSettings, Settings
     from scipsdp_tpu.utils.status import SolveStatus
 
-    solu = load_solu(os.path.join(REFERENCE, "check", "testset",
-                                  f"{args.testset}.solu"))
-    settings = Settings(
-        bb=BBSettings(time_limit=args.time_limit),
-        solve_sdps=0 if args.lp_approx else 1,
-    )
-    if args.phase32 is not None:
-        import dataclasses as _dc
-        settings = _dc.replace(
-            settings, ipm=_dc.replace(settings.ipm, phase32=args.phase32))
-
     print(f"{'instance':<28} {'status':<10} {'objective':>16} "
-          f"{'expected':>16} {'nodes':>7} {'time':>8}  result")
+          f"{'expected':>16} {'nodes':>7} {'time':>8}  result"
+          + (f"   [{label}]" if label else ""))
     nfail = 0
+    rows = []
     for name, (kind, expect) in solu.items():
         path = find_instance(name)
         if path is None:
@@ -190,7 +162,106 @@ def main():
                   f"{'ok' if ok else 'FAIL'}")
         if not ok:
             nfail += 1
+        rows.append({"instance": name, "status": res.status.name,
+                     "objective": res.objval, "nodes": res.stats.nodes,
+                     "iters": res.stats.ipm_iterations,
+                     "solver_calls": res.stats.solver_calls,
+                     "time_s": round(dt, 1), "ok": bool(ok)})
     print(f"\n{len(solu) - nfail}/{len(solu)} instances at parity")
+    return nfail, rows
+
+
+def run_settings_sweep(args, solu):
+    """The reference check harness's settings-tier sweep
+    (/root/reference/Makefile:538-553 over settings/scip-*.set): run the
+    full testset under each tier file through the SCIP-style ``.set``
+    loader and assert parity per tier, recording the behavioral
+    differences (nodes / iterations / solver calls) the knobs produce.
+    Writes SETTINGS_SWEEP.json."""
+    import glob
+    import json
+
+    from scipsdp_tpu.utils.config import BBSettings, Settings
+    from scipsdp_tpu.utils.paramfile import load_settings_file
+
+    tiers = sorted(
+        glob.glob(os.path.join(REFERENCE, "settings", "scip-*.set")),
+        key=lambda p: p) + [os.path.join(REFERENCE, "settings",
+                                         "lp_approx.set")]
+    base = Settings(bb=BBSettings(time_limit=args.time_limit))
+    summary = []
+    total_fail = 0
+    for tier in tiers:
+        label = os.path.basename(tier)
+        settings = load_settings_file(tier, base=base)
+        nfail, rows = run_testset(settings, solu, label=label)
+        total_fail += nfail
+        summary.append({
+            "tier": label,
+            "solve_sdps": settings.solve_sdps,
+            "branching_rule": settings.bb.branching_rule,
+            "heuristic_rand": settings.bb.heuristic_rand,
+            "diving_freq": settings.bb.diving_freq,
+            "parity": f"{len(solu) - nfail}/{len(solu)}",
+            "nodes": sum(r["nodes"] for r in rows),
+            "iters": sum(r["iters"] for r in rows),
+            "solver_calls": sum(r["solver_calls"] for r in rows),
+            "time_s": round(sum(r["time_s"] for r in rows), 1),
+            "rows": rows,
+        })
+        with open("SETTINGS_SWEEP.json", "w") as f:
+            json.dump(summary, f, indent=1)
+    print(f"\n{'tier':<16} {'mode':<5} {'branch':<14} {'parity':<7} "
+          f"{'nodes':>7} {'iters':>7} {'solves':>7} {'time':>8}")
+    for s in summary:
+        mode = "SDP" if s["solve_sdps"] else "LP"
+        print(f"{s['tier']:<16} {mode:<5} {s['branching_rule']:<14} "
+              f"{s['parity']:<7} {s['nodes']:>7} {s['iters']:>7} "
+              f"{s['solver_calls']:>7} {s['time_s']:>7.1f}s")
+    return 1 if total_fail else 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--testset", default="short")
+    ap.add_argument("--lp-approx", action="store_true")
+    ap.add_argument("--time-limit", type=float, default=1800.0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--families", action="store_true",
+                    help="perf tier: generated CLS/MkP/TT at several "
+                         "sizes; prints a nodes/s scaling table")
+    ap.add_argument("--settings-sweep", action="store_true",
+                    help="run the testset under every reference settings "
+                         "tier (settings/scip-*.set + lp_approx.set)")
+    ap.add_argument("--phase32", default=None,
+                    choices=["off", "on", "refine"],
+                    help="override the IPM mixed-precision mode (A/B aid)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.families:
+        return run_families(args)
+
+    from scipsdp_tpu.utils.config import BBSettings, Settings
+
+    solu = load_solu(os.path.join(REFERENCE, "check", "testset",
+                                  f"{args.testset}.solu"))
+    if args.settings_sweep:
+        return run_settings_sweep(args, solu)
+
+    settings = Settings(
+        bb=BBSettings(time_limit=args.time_limit),
+        solve_sdps=0 if args.lp_approx else 1,
+    )
+    if args.phase32 is not None:
+        import dataclasses as _dc
+        settings = _dc.replace(
+            settings, ipm=_dc.replace(settings.ipm, phase32=args.phase32))
+
+    nfail, _rows = run_testset(settings, solu)
     return 1 if nfail else 0
 
 

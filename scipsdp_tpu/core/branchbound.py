@@ -1141,8 +1141,10 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
         # batched rounding heuristics: nearest rounding
         # (heur_sdpfracround.c) and randomized rounding (heur_sdprand.c) —
         # each candidate set costs one batched feasibility check
-        if bb.heuristic_fracround and res.round_feas is not None:
+        if ((bb.heuristic_fracround or bb.heuristic_rand)
+                and res.round_feas is not None):
             # fused path: candidates were rounded + checked on device
+            # (the fused graph gates each heuristic's candidate itself)
             yr = res.round_y
             feas = res.round_feas.copy()
             for i in range(len(batch)):
@@ -1151,17 +1153,19 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                     feas[i] = False
                 if feas[i] and _lift_violated(prob, yr[i], feastol):
                     feas[i] = False
-        elif bb.heuristic_fracround:
+        elif bb.heuristic_fracround or bb.heuristic_rand:
             rng_h = np.random.default_rng(settings.seed + stats.nodes)
             cands = []
-            yr0 = res.y.copy()
-            yr0[:, integral] = np.round(yr0[:, integral])
-            cands.append(yr0)
-            yr1 = res.y.copy()
-            frac1 = yr1[:, integral] - np.floor(yr1[:, integral])
-            yr1[:, integral] = np.floor(yr1[:, integral]) + (
-                rng_h.random(frac1.shape) < frac1)
-            cands.append(yr1)
+            if bb.heuristic_fracround:
+                yr0 = res.y.copy()
+                yr0[:, integral] = np.round(yr0[:, integral])
+                cands.append(yr0)
+            if bb.heuristic_rand:
+                yr1 = res.y.copy()
+                frac1 = yr1[:, integral] - np.floor(yr1[:, integral])
+                yr1[:, integral] = np.floor(yr1[:, integral]) + (
+                    rng_h.random(frac1.shape) < frac1)
+                cands.append(yr1)
             feas = np.zeros(B, dtype=bool)
             yr = res.y.copy()
             best = np.full(B, np.inf)

@@ -103,12 +103,14 @@ class BatchSolveResult:
 _FUSED_JIT_CACHE: dict = {}
 
 
-def _build_fused(ipms, feastol, m, integral_np, indicator_pairs):
+def _build_fused(ipms, feastol, m, integral_np, indicator_pairs,
+                 use_frac=True, use_rand=True):
     """Build the jitted fused executable: ipm_solve + fracround/randround
     candidates + feasibility check, all in one device graph (one
     dispatch).  Module-level (NOT a bound method) so the module-wide cache
     never pins an SDPInterface instance — and its whole problem's device
-    arrays — for process lifetime."""
+    arrays — for process lifetime.  ``use_frac``/``use_rand`` gate the two
+    rounding heuristics (heur_sdpfracround.c / heur_sdprand.c freq = -1)."""
     integral_np = np.asarray(integral_np)
     indicator_pairs = np.asarray(indicator_pairs, np.int32).reshape(-1, 2)
 
@@ -168,6 +170,10 @@ def _build_fused(ipms, feastol, m, integral_np, indicator_pairs):
                        jnp.floor(y) + (rnd < frac), y)
         y0c, f0, v0 = finish(y0)
         y1c, f1, v1 = finish(y1)
+        if not use_frac:
+            f0 = jnp.zeros_like(f0)
+        if not use_rand:
+            f1 = jnp.zeros_like(f1)
         use1 = f1 & (~f0 | (v1 < v0))
         yr = jnp.where(use1[:, None], y1c, y0c)
         return out, yr, (f0 | f1), jnp.where(use1, v1, v0)
@@ -228,12 +234,16 @@ class SDPInterface:
         from scipsdp_tpu.parallel.mesh import mesh_key
         fkey = (self.settings.ipm, self.settings.bb.feastol, self.m,
                 self.dense.integral.tobytes(),
-                self._indicator_pairs.tobytes(), mesh_key(mesh))
+                self._indicator_pairs.tobytes(), mesh_key(mesh),
+                self.settings.bb.heuristic_fracround,
+                self.settings.bb.heuristic_rand)
         fn = _FUSED_JIT_CACHE.get(fkey)
         if fn is None:
             fn = _build_fused(self.settings.ipm, self.settings.bb.feastol,
                               self.m, self.dense.integral,
-                              self._indicator_pairs)
+                              self._indicator_pairs,
+                              use_frac=self.settings.bb.heuristic_fracround,
+                              use_rand=self.settings.bb.heuristic_rand)
             while len(_FUSED_JIT_CACHE) >= 32:
                 _FUSED_JIT_CACHE.pop(next(iter(_FUSED_JIT_CACHE)))
             _FUSED_JIT_CACHE[fkey] = fn
@@ -770,8 +780,98 @@ class SDPInterface:
                 gfact = 0.5 * ipms.min_gaptol / ipms.gaptol
             bound_only = np.full(B, -np.inf)
             have_bound = np.zeros(B, dtype=bool)
+            did_spec = np.zeros(B, dtype=bool)
+
+            # --- speculative parallel ladder (one dispatch) -------------
+            # The serial escalation below pays one full batched solve per
+            # rung for what is typically 1-2 straggler instances while the
+            # other B-2 slots ride along masked.  Those idle slots are a
+            # settings-diversified concurrent portfolio waiting to happen
+            # (SCIPsdpiClone + concurrent paramsetprefix role, sdpi.c:2144
+            # / settings/concurrent2.set): clone each failed instance into
+            # the free slots at DIFFERENT (Gamma, gaptol) tiers sampled
+            # along the escalation lattice (both edges + the diagonal) and
+            # solve the whole ladder in ONE dispatch, adopting the
+            # lowest-tier acceptable outcome — the same decision set the
+            # serial staircase explores, minus ~10 dispatches (measured
+            # 96 s -> ~12 s ladder wall on example_multaggr2, round 5).
+            n_i = max(int(ipms.npenaltyincr), 1)
+            sched = []
+            for i, j in ((1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (2, 2),
+                         (4, 0), (0, 4), (4, 4), (8, 0), (0, 8), (8, 8)):
+                ij = (min(i, n_i), min(j, n_i))
+                if ij not in sched and ij != (0, 0):
+                    sched.append(ij)
+            fidx = np.where(failed)[0]
+            ntiers = min(len(sched) + 1, B // max(len(fidx), 1))
+            if ntiers >= 3 and not out_of_time():
+                free = [s for s in range(B) if not failed[s]]
+                bpen = bmat.copy()
+                lbq = np.ones_like(lbx)     # default: conflict box
+                ubq = np.zeros_like(ubx)
+                gt_vec = np.full(B, ipms.gaptol)
+                cuts_s = None
+                if cuts is not None:
+                    Gc0, hc0, cv0 = cuts
+                    Gc_s, hc_s, cv_s = (Gc0.copy(), hc0.copy(), cv0.copy())
+                assign = {}   # owner -> [(slot, (i, j)), ...]
+                tpos = 0
+                for f in fidx:
+                    slots = [int(f)] + [free.pop() for _ in range(
+                        min(ntiers - 1, len(free)))]
+                    assign[int(f)] = []
+                    for k, s in enumerate(slots):
+                        i, j = ((0, 0) if k == 0 else sched[k - 1])
+                        g_s = min(gamma[f] * pfact ** i,
+                                  ipms.maxpenaltyparam)
+                        t_s = max(gtol[f] * gfact ** j, ipms.min_gaptol)
+                        bpen[s] = bmat[f]
+                        bpen[s, m] = g_s
+                        lbq[s] = lbx[f]
+                        ubq[s] = ubx[f]
+                        ubq[s, m] = INF
+                        gt_vec[s] = t_s
+                        if cuts is not None:
+                            Gc_s[s] = Gc0[f]
+                            hc_s[s] = hc0[f]
+                            cv_s[s] = cv0[f]
+                        assign[int(f)].append((s, g_s, t_s))
+                if cuts is not None:
+                    cuts_s = (Gc_s, hc_s, cv_s)
+                outk = self._run(bpen, lbq, ubq, cuts_s, gaptol=gt_vec)
+                nsolves += 1
+                kstat = np.asarray(outk.status)
+                kr = np.asarray(outk.r)
+                kdobj = np.asarray(outk.dobj)
+                ky = np.asarray(outk.y)
+                kxl = np.asarray(outk.xl)
+                kxlb = np.asarray(outk.xlb)
+                kxub = np.asarray(outk.xub)
+                kX = [np.asarray(xb) for xb in outk.X]
+                for f, slots in assign.items():
+                    for s, g_s, t_s in slots:
+                        conv = kstat[s] == int(SolverResultStatus.OPTIMAL)
+                        if conv and kr[s] <= feastol:
+                            npenalty += 1
+                            status[f] = int(SolverResultStatus.OPTIMAL)
+                            objval[f] = kdobj[s] - g_s * kr[s]
+                            y[f] = ky[s, :m]
+                            for t in range(len(X)):
+                                X[t][f] = kX[t][s]
+                            xl[f] = kxl[s]
+                            xlb[f] = kxlb[s, :m]
+                            xub[f] = kxub[s, :m]
+                            out_tier[f] = (g_s, t_s)
+                            break
+                        if conv:
+                            bound_only[f] = max(bound_only[f], kdobj[s])
+                            have_bound[f] = True
+                    did_spec[f] = True
+                failed = np.isin(status, _UNSOLVED_CODES)
+
+            # --- serial escalation (fallback when slots are scarce) -----
             for _ in range(2 * ipms.npenaltyincr + 2):
-                active = (failed
+                active = (failed & ~did_spec
                           & (gamma < ipms.maxpenaltyparam + ipms.epsilon)
                           & (gtol > 0.99 * ipms.min_gaptol))
                 if not active.any() or out_of_time():
@@ -827,6 +927,17 @@ class SDPInterface:
                 status[salvage] = int(SolverResultStatus.BOUND_ONLY)
                 objval[salvage] = bound_only[salvage]
                 failed = np.isin(status, _UNSOLVED_CODES)
+            # ladder-exhausted instances: children (and requeues) start at
+            # the TOP tier instead of re-climbing the whole ladder on
+            # every visit (cons_savedsdpsettings inheritance extended to
+            # unsuccessful ladders — the climb itself is what they would
+            # repeat, relax_sdp.c:4085-4120 role)
+            exhausted = salvage | failed
+            if exhausted.any():
+                # one step below the top so the child still gets one
+                # near-top penalty attempt (its relaxation may be easier)
+                out_tier[exhausted, 0] = ipms.maxpenaltyparam / pfact
+                out_tier[exhausted, 1] = ipms.min_gaptol / gfact
 
         if failed.any() and not out_of_time():
             # rung 4: box rescue / unboundedness detection

@@ -252,11 +252,53 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
         status, nsolves = jax.lax.cond(
             jnp.any(failed0), probe, lambda a: a, (status, st.nsolves + 1))
 
+        # ---- in-graph rung 3: one penalty solve at the ladder's start
+        # tier (sdpi.c:3497-3599; Gamma = penaltyparam — larger tiers
+        # measured DIVERGENT on the MkP family, r ~ 1e11 at Gamma = 3e6).
+        # Ladder-hard instances otherwise accumulate ``nunsolved`` until
+        # turbo bails to the host loop, which re-pays one relay dispatch
+        # PER serial ladder rung — the round-4 mkp_12 "cliff"
+        # (0.32 nodes/s) was exactly this fallback.  feasorig results
+        # (r <= feastol) are adopted as OPTIMAL; converged penalty solves
+        # with residual r still yield a valid dual bound for pruning
+        # (GetLowerObjbound role, sdpi.c:3551).
+        failed1 = sel_live & jnp.isin(status, jnp.asarray((FAILED, ITERLIM)))
+        gam_mid = float(ipms.penaltyparam)
+
+        def pen_rung(args):
+            status, y, bound_pen, has_pen, nsolves = args
+            bpen = jnp.broadcast_to(data.b_base[None], (B, mp)) + 0.0
+            bpen = bpen.at[:, m].set(gam_mid)
+            ubp = ubx.at[:, m].set(1e20)
+            lbq = jnp.where(failed1[:, None], lbx, 1.0)
+            ubq = jnp.where(failed1[:, None], ubp, 0.0)
+            outp = ipm_solve(data, bpen, lbq, ubq, settings=ipms)
+            conv = failed1 & (outp.status == OPT)
+            feasorig = conv & (outp.r <= feastol)
+            status = jnp.where(feasorig, OPT, status)
+            y = jnp.where(feasorig[:, None], outp.y[:, :m], y)
+            val = outp.dobj - gam_mid * outp.r
+            bound_pen = jnp.where(feasorig, val,
+                                  jnp.where(conv, outp.dobj, bound_pen))
+            return status, y, bound_pen, has_pen | conv, nsolves + 1
+
+        pen_rung = jax.named_scope("tb_pen_rung")(pen_rung)
+        status, y, bound_pen, has_pen, nsolves = jax.lax.cond(
+            jnp.any(failed1), pen_rung, lambda a: a,
+            (status, y, jnp.full((B,), -jnp.inf, bound.dtype),
+             jnp.zeros((B,), bool), nsolves))
+        bound = jnp.where(status == OPT, jnp.where(
+            jnp.isfinite(bound), bound, bound_pen), bound)
+
         unsolved = sel_live & jnp.isin(status,
                                        jnp.asarray((FAILED, ITERLIM)))
         infeas = sel_live & jnp.isin(status, jnp.asarray((INFEAS, PRE_INF)))
         solved = sel_live & jnp.isin(status, jnp.asarray((OPT, PRE_OPT)))
         bound = jnp.where(solved, bound, par_bound)   # unsolved: keep parent
+        # penalty-converged-but-inexact instances carry a valid dual bound
+        # even though their relaxation stays "unsolved" for branching
+        bound = jnp.where(unsolved & has_pen,
+                          jnp.maximum(bound, bound_pen), bound)
         pruned = sel_live & ~infeas & (bound >= cutoff)
 
         # ---- incumbent candidates ---------------------------------------
@@ -270,13 +312,16 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
             has_iv = jnp.any(iv, axis=1)
             is_leaf_sol = is_leaf_sol & ~has_iv
 
-        # fused rounding heuristics (heur_sdpfracround / heur_sdprand)
+        # fused rounding heuristics (heur_sdpfracround / heur_sdprand),
+        # each gated by its plugin toggle (freq = -1 in the tier files)
         yr0 = jnp.where(integral_d[None, :], jnp.round(y), y)
         fr = y - jnp.floor(y)
         rnd = jax.random.uniform(key, fr.shape, dtype=fr.dtype)
         yr1 = jnp.where(integral_d[None, :], jnp.floor(y) + (rnd < fr), y)
+        heur_cands = ([yr0] if bb.heuristic_fracround else []) \
+            + ([yr1] if bb.heuristic_rand else [])
         cands = []
-        for yc in (yr0, yr1):
+        for yc in heur_cands:
             yc = jnp.clip(yc, lb, ub)
             # clipping against fractional bounds may destroy integrality;
             # such candidates are not MISDP-feasible
@@ -301,7 +346,7 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
             inc_y = jnp.where(better, yc[i_best], inc_y)
             inc_val = jnp.where(better, v_best, inc_val)
             has_inc = has_inc | better
-            if ci < 2:
+            if ci < len(heur_cands):
                 nheur = nheur + better.astype(jnp.int32)
 
         # ---- branching ---------------------------------------------------
@@ -437,6 +482,7 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
             st.inc_val.astype(jnp.float64),
             st.has_inc.astype(jnp.float64),
             open_bound,
+            jnp.sum(st.fvalid).astype(jnp.float64),   # live frontier width
         ])
         return st, summary
 
@@ -527,8 +573,29 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
                  if prob.indicators else None)
     chk = (bb.feastol * (1.0 + float(np.sum(np.abs(dense.obj))))
            if bb.usedimacsfeastol else None)
-    chunk = _chunk_for(settings, dense.integral, B, data, ind_pairs, mesh,
-                       check_feastol=chk)
+    # adaptive batch ramp (turbo_adaptive_batch): run narrow while the
+    # frontier is narrow, double the width once the frontier exceeds 4x
+    # the current batch.  The state slab is width-independent, so a ramp
+    # step just swaps the compiled executable (round-4 data: wide batches
+    # on small trees pay up to 3x speculative nodes and 12x
+    # time-to-solution; deep trees still reach the configured width).
+    widths = [B]
+    if bb.turbo_adaptive_batch and mesh is None and B > 8:
+        widths, w = [], 8
+        while w < B:
+            widths.append(w)
+            w *= 2
+        widths.append(B)
+    wi = 0
+    if init_nodes is not None:
+        while wi < len(widths) - 1 and len(init_nodes) >= 4 * widths[wi]:
+            wi += 1
+
+    def chunk_at(width):
+        return _chunk_for(settings, dense.integral, width, data, ind_pairs,
+                          mesh, check_feastol=chk)
+
+    chunk = chunk_at(widths[wi])
 
     if init_nodes is not None:
         K = len(init_nodes)
@@ -586,7 +653,7 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
         # charges a full round-trip per fetch)
         (any_valid, overflow, nunsolved, nodes, rounds, iters, nsolves,
          nheur, ndirect, _npruned, inc_val_f, has_inc_f,
-         open_bound) = np.asarray(summary)
+         open_bound, nlive) = np.asarray(summary)
         if overflow or nunsolved > 4 * B:
             return None    # host path handles what turbo cannot
         if not any_valid or nodes >= bb.node_limit:
@@ -594,6 +661,13 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
         if time.time() - t0 > bb.time_limit:
             hit_time = True
             break
+        # batch ramp: frontier outgrew the current width
+        stepped = False
+        while wi < len(widths) - 1 and nlive >= 4 * widths[wi]:
+            wi += 1
+            stepped = True
+        if stepped:
+            chunk = chunk_at(widths[wi])
 
     has_inc = bool(has_inc_f)
     inc_val = float(inc_val_f) if has_inc else np.inf

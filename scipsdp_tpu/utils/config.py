@@ -183,6 +183,10 @@ class BBSettings:
                                    # (TPU analog of concurrent solvers,
                                    # sdpi.c:2144 SCIPsdpiClone portfolio)
     heuristic_fracround: bool = True  # heur_sdpfracround.c analog
+    heuristic_rand: bool = True    # heur_sdprand.c analog (randomized
+                                   # rounding candidate in the fused
+                                   # heuristic dispatch; settings tier
+                                   # scip-4.set turns exactly this off)
     heuristic_innerlp: bool = False   # heur_sdpinnerlp.c analog (root
                                       # diagonally-dominant inner LP;
                                       # reference HEUR_FREQ = -1: off)
@@ -249,6 +253,15 @@ class BBSettings:
                                    # cond, so a finished tree costs
                                    # nothing; each dispatch pays ~29 ms
                                    # relay latency — fuse generously)
+    turbo_adaptive_batch: bool = True
+    # ramp the effective batch width 8 -> batch_size as the live frontier
+    # grows (width doubles once the frontier exceeds 4x the current
+    # batch): small trees stop paying for speculative nodes a wide batch
+    # would expand (measured round 4: cls_18 solves in 41 nodes at B=8
+    # but 129 at B=64, 12x worse time-to-solution at B=128), while deep
+    # trees (tt_14, 3k+ nodes) still reach the configured width.  The
+    # frontier slab is batch-width-independent, so ramp steps just switch
+    # compiled executables over the same device state.
     # LP-mode exact enforcement (constraints/SDP/enforcesdp,
     # cons_sdp.c:8276-8423): when an integral LP solution stays
     # SDP-infeasible after ``enforce_after`` separation rounds, solve the

@@ -64,10 +64,29 @@ _PARAM_MAP = {
     "constraints/SDP/sparsifytargetsize": ("cuts", "sparsifytargetsize",
                                            int),
     "propagating/sdp-symmetry/freq": ("", "use_symmetry", bool),
-    "heuristics/sdpfracdiving/freq": ("bb", "diving_freq", int),
+    # SCIP freq semantics: -1 off, 0 root-only, k every k-th depth; our
+    # diving_freq counts batches (0 = off), so enabling values map to the
+    # closest batched cadence (>= 1)
+    "heuristics/sdpfracdiving/freq": ("bb", "diving_freq",
+                                      lambda raw: max(int(float(raw)), 1)
+                                      if float(raw) >= 0 else 0),
+    "heuristics/sdpfracround/freq": ("bb", "heuristic_fracround", bool),
+    "heuristics/sdprand/freq": ("bb", "heuristic_rand", bool),
+    "constraints/SDP/enforcesdp": ("bb", "enforcesdp", bool),
     "propagating/sdpobbt/freq": ("bb", "obbt_at_root", bool),
     "branching/sdpmostfrac/priority": None,   # selected via rule name below
     "branching/rule": ("bb", "branching_rule", str),
+}
+
+# the reference registers 4 branching plugins and picks the
+# highest-priority one (branch_sdp*.c BRANCHRULE_PRIORITY; the tier files
+# scip-7/scip-8 promote one rule with priority = 3e+06) — map each
+# priority param onto rule selection by maximum value
+_BRANCH_PRIO = {
+    "branching/sdpmostfrac/priority": "mostfrac",
+    "branching/sdpmostinf/priority": "mostinf",
+    "branching/sdpobjective/priority": "objective",
+    "branching/sdpinfobjective/priority": "infobjective",
 }
 
 
@@ -85,17 +104,24 @@ def _parse_value(raw: str, typ):
 def load_settings_file(path: str, base: Settings = None) -> Settings:
     settings = base or Settings()
     updates = {"": {}, "bb": {}, "ipm": {}, "presolve": {}, "cuts": {}}
+    branch_prio = {}
     with open(path) as f:
         for line in f:
             line = line.split("#")[0].strip()
             if not line or "=" not in line:
                 continue
             name, raw = (t.strip() for t in line.split("=", 1))
+            if name in _BRANCH_PRIO:
+                branch_prio[_BRANCH_PRIO[name]] = float(raw)
+                continue
             spec = _PARAM_MAP.get(name)
             if spec is None:
                 continue  # unknown params are ignored (SCIP warns only)
             section, field, typ = spec
             updates[section][field] = _parse_value(raw, typ)
+    if branch_prio:
+        updates["bb"]["branching_rule"] = max(branch_prio,
+                                              key=branch_prio.get)
 
     if updates["bb"]:
         settings = dataclasses.replace(

@@ -253,3 +253,106 @@ def test_no_tier_recorded_for_direct_solves():
     iface._run = sr
     res = iface.solve_batch(np.array([[0.0]]), np.array([[2.0]]))
     assert res.tier is not None and not np.isfinite(res.tier[0]).any()
+
+
+class ScriptedVectorRuns:
+    """Per-slot scripted outputs: each script entry is a list of
+    (status, r, dobj) per batch slot; records (gamma_vec, gaptol_vec)."""
+
+    def __init__(self, iface, script):
+        self.iface = iface
+        self.script = list(script)
+        self.calls = []
+        self.m = iface.m
+
+    def __call__(self, b, lb, ub, cuts=None, warm_y=None, warm_mask=None,
+                 f32=False, gaptol=None, warm_X=None, feastol_vec=None):
+        B = b.shape[0]
+        self.calls.append((np.asarray(b[:, self.m]).copy(),
+                           None if gaptol is None
+                           else np.asarray(gaptol).copy()))
+        rows = self.script.pop(0)
+        mp = self.m + 1
+        status = np.array([r[0] for r in rows], np.int32)
+        rvec = np.array([r[1] for r in rows])
+        dobj = np.array([r[2] for r in rows])
+        y = np.zeros((B, mp))
+        y[:, 0] = 1.0       # passes the independent verification rung
+        y[:, self.m] = rvec
+        return SolveOutput(
+            status=status, dobj=dobj, y=y, r=rvec,
+            gap=np.zeros(B), pinf=np.zeros(B), dinf=np.zeros(B),
+            iters=np.asarray(0),
+            X=(np.zeros((B, 1, 1, 1)),),
+            xl=np.zeros((B, 1)),
+            xlb=np.zeros((B, mp)),
+            xub=np.zeros((B, mp)),
+        )
+
+
+def test_speculative_parallel_ladder_one_dispatch():
+    """Round-5 concurrent-portfolio ladder (SCIPsdpiClone role): with free
+    batch slots, the whole escalation schedule is evaluated in ONE
+    dispatch — clones of the failed instance at different (Gamma, gaptol)
+    tiers — and the lowest-tier feasorig outcome is adopted, with its
+    tier recorded for the children."""
+    iface, s = _make_iface()
+    F_ = F
+    PRE_INF = int(SolverResultStatus.PRESOLVED_INFEASIBLE)
+    fact = (1000.0 / 10.0) ** 0.5      # npenaltyincr = 2
+    gfact = (s.ipm.min_gaptol / s.ipm.gaptol) ** 0.5
+    r_ok = 1e-9
+    script = [
+        # rung 1 direct: slot 0 fails, slots 1-3 decided (free for clones)
+        [(F_, 0.0, 0.0), (PRE_INF, 0.0, 0.0), (PRE_INF, 0.0, 0.0),
+         (PRE_INF, 0.0, 0.0)],
+        # rung 2 probe: converged with r* = 0 (no infeasibility proof)
+        [(OPT, 0.0, 0.0)] * 4,
+        # rung 3 speculative: slot 3 hosts tier (1,0) and is feasorig
+        [(F_, 0.0, 0.0), (F_, 0.0, 0.0), (F_, 0.0, 0.0),
+         (OPT, r_ok, 5.0)],
+    ]
+    sr = ScriptedVectorRuns(iface, script)
+    iface._run = sr
+    lb = np.zeros((4, 1))
+    ub = np.full((4, 1), 2.0)
+    res = iface.solve_batch(lb, ub)
+    # exactly 3 dispatches: direct, probe, ONE speculative ladder
+    assert len(sr.calls) == 3
+    gam_vec, gt_vec = sr.calls[2]
+    # slot layout: own slot 0 = base tier; free slots popped 3, 2, 1 host
+    # sched (1,0), (0,1), (1,1)
+    assert gam_vec[0] == pytest.approx(10.0)
+    assert gam_vec[3] == pytest.approx(10.0 * fact)
+    assert gam_vec[2] == pytest.approx(10.0)
+    assert gam_vec[1] == pytest.approx(10.0 * fact)
+    assert gt_vec[3] == pytest.approx(s.ipm.gaptol)
+    assert gt_vec[2] == pytest.approx(s.ipm.gaptol * gfact)
+    assert gt_vec[1] == pytest.approx(s.ipm.gaptol * gfact)
+    # the (1,0)-tier outcome was adopted for the owner
+    assert res.status[0] == SolverResultStatus.OPTIMAL
+    assert res.objval[0] == pytest.approx(5.0 - 10.0 * fact * r_ok)
+    assert res.tier[0, 0] == pytest.approx(10.0 * fact)
+    assert res.npenalty == 1
+
+
+def test_speculative_exhausted_records_top_tier():
+    """An instance the whole speculative schedule cannot solve records a
+    near-top tier so its children skip re-climbing the ladder."""
+    iface, s = _make_iface()
+    PRE_INF = int(SolverResultStatus.PRESOLVED_INFEASIBLE)
+    script = [
+        [(F, 0.0, 0.0), (PRE_INF, 0.0, 0.0), (PRE_INF, 0.0, 0.0),
+         (PRE_INF, 0.0, 0.0)],
+        [(OPT, 0.0, 0.0)] * 4,          # probe: no proof
+        [(F, 0.0, 0.0)] * 4,            # speculative: all tiers fail
+        [(F, 0.0, 0.0)] * 4,            # rung 4 box rescue fails
+    ]
+    sr = ScriptedVectorRuns(iface, script)
+    iface._run = sr
+    res = iface.solve_batch(np.zeros((4, 1)), np.full((4, 1), 2.0))
+    assert res.status[0] == SolverResultStatus.FAILED
+    # near-top tier recorded (one escalation step below the cap)
+    fact = (1000.0 / 10.0) ** 0.5
+    assert res.tier[0, 0] == pytest.approx(1000.0 / fact)
+    assert np.isfinite(res.tier[0, 1])

@@ -1207,7 +1207,10 @@ def solve_misdp(prob: MISDP, settings: Optional[Settings] = None,
                 bound = node.bound  # no new information; keep parent bound
                 y = None
             else:
-                bound = float(res.objval[i])
+                # monotone: the parent bound stays valid for the child, so
+                # a looser rescue bound (BOUND_ONLY salvage) never weakens
+                # the subtree's pruning
+                bound = max(float(res.objval[i]), node.bound)
                 y = res.y[i]
 
             if bound >= incumbent_val - prune_slack + bb.gaplimit * abs(

@@ -940,6 +940,37 @@ class SDPInterface:
                 out_tier[exhausted, 1] = ipms.min_gaptol / gfact
 
         if failed.any() and not out_of_time():
+            # Farkas-style box bound from the primal iterate
+            # (computeConflictCut aggregation, relax_sdp.c:954-1410):
+            # for ANY X >= 0 and xl >= 0,
+            #   b^T y  =  (b - g)^T y + g^T y  >=  (b - g)^T y + lhs
+            # with g_j = sum_b tr(A_j^b X_b) + xl G_j and lhs = tr(C X)
+            # + xl h; minimizing the linear term over the node box gives
+            # a VALID dual bound even when the solve cannot certify —
+            # exactly the weak-duality nodes (mostly-fixed boxes, y side
+            # converged, pinf stalled) that otherwise exhaust the ladder
+            # and branch bound-less forever (example_multaggr2 round 5).
+            import types as _types
+            g, lhs = self.conflict_cuts(
+                _types.SimpleNamespace(X=X, xl=xl, y=y))
+            coef = bmat[:, :m] - g
+            lo = np.where(lb <= -1e19, -np.inf, lb)
+            hi = np.where(ub >= 1e19, np.inf, ub)
+            with np.errstate(invalid="ignore"):
+                t1 = coef * lo
+                t2 = coef * hi
+            terms = np.where(np.abs(coef) <= 1e-14, 0.0,
+                             np.minimum(t1, t2))
+            bnd = lhs + terms.sum(axis=1)
+            good = failed & np.isfinite(bnd)
+            if good.any():
+                # safety margin for the iterate's numerical PSD slack
+                bnd = bnd - feastol * (1.0 + np.abs(bnd))
+                status[good] = int(SolverResultStatus.BOUND_ONLY)
+                objval[good] = bnd[good]
+                failed = np.isin(status, _UNSOLVED_CODES)
+
+        if failed.any() and not out_of_time():
             # rung 4: box rescue / unboundedness detection
             lbb = lbx.copy()
             ubb = ubx.copy()

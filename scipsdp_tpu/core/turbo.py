@@ -490,6 +490,45 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
 
 
 _CHUNK_CACHE: dict = {}
+_INIT_CACHE: dict = {}
+
+
+def _init_state(N: int, m: int, K: int):
+    """Jitted TurboState builder: scatters K seed node boxes into the
+    (N, m) frontier slab ON DEVICE, so a solve's setup costs one
+    dispatch (the relay charges a round-trip per host->device array)."""
+    key = (N, m, K)
+    fn = _INIT_CACHE.get(key)
+    if fn is None:
+        @jax.jit
+        def init(seed_lb, seed_ub, seed_bound, inc_val, inc_y, has_inc):
+            z = jnp.zeros((N, m))
+            return TurboState(
+                flb=z.at[:K].set(seed_lb),
+                fub=z.at[:K].set(seed_ub),
+                fbound=jnp.full((N,), jnp.inf).at[:K].set(seed_bound),
+                fwarm=z,
+                fwok=jnp.zeros((N,), bool),
+                fvalid=jnp.zeros((N,), bool).at[:K].set(True),
+                inc_val=inc_val,
+                inc_y=inc_y,
+                has_inc=has_inc,
+                nodes=jnp.asarray(0, jnp.int32),
+                rounds=jnp.asarray(0, jnp.int32),
+                iters=jnp.asarray(0, jnp.int32),
+                nsolves=jnp.asarray(0, jnp.int32),
+                nheur=jnp.asarray(0, jnp.int32),
+                ndirect=jnp.asarray(0, jnp.int32),
+                nunsolved=jnp.asarray(0, jnp.int32),
+                npruned_inf=jnp.asarray(0, jnp.int32),
+                overflow=jnp.asarray(False),
+            )
+
+        while len(_INIT_CACHE) >= 32:
+            _INIT_CACHE.pop(next(iter(_INIT_CACHE)))
+        _INIT_CACHE[key] = init
+        fn = init
+    return fn
 
 
 def _chunk_for(settings: Settings, integral: np.ndarray, B: int,
@@ -597,48 +636,29 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
 
     chunk = chunk_at(widths[wi])
 
+    has0 = inc_y0 is not None and np.isfinite(inc_val0)
     if init_nodes is not None:
         K = len(init_nodes)
-        flb0 = np.zeros((N, m))
-        fub0 = np.zeros((N, m))
-        fb0 = np.full((N,), np.inf)
+        flb0 = np.zeros((K, m))
+        fub0 = np.zeros((K, m))
+        fb0 = np.full((K,), np.inf)
         for i, (nlb, nub, nbound) in enumerate(init_nodes):
             flb0[i] = nlb
             fub0[i] = nub
             fb0[i] = nbound
-        valid0 = np.zeros((N,), bool)
-        valid0[:K] = True
     else:
-        flb0 = np.zeros((N, m))
-        fub0 = np.zeros((N, m))
-        flb0[0] = root_lb
-        fub0[0] = root_ub
-        fb0 = np.full((N,), np.inf)
-        fb0[0] = -np.inf
-        valid0 = np.zeros((N,), bool)
-        valid0[0] = True
-
-    has0 = inc_y0 is not None and np.isfinite(inc_val0)
-    st = TurboState(
-        flb=jnp.asarray(flb0),
-        fub=jnp.asarray(fub0),
-        fbound=jnp.asarray(fb0),
-        fwarm=jnp.zeros((N, m)),
-        fwok=jnp.zeros((N,), bool),
-        fvalid=jnp.asarray(valid0),
-        inc_val=jnp.asarray(float(inc_val0) if has0 else np.inf),
-        inc_y=(jnp.asarray(inc_y0) if has0 else jnp.zeros((m,))),
-        has_inc=jnp.asarray(bool(has0)),
-        nodes=jnp.asarray(0, jnp.int32),
-        rounds=jnp.asarray(0, jnp.int32),
-        iters=jnp.asarray(0, jnp.int32),
-        nsolves=jnp.asarray(0, jnp.int32),
-        nheur=jnp.asarray(0, jnp.int32),
-        ndirect=jnp.asarray(0, jnp.int32),
-        nunsolved=jnp.asarray(0, jnp.int32),
-        npruned_inf=jnp.asarray(0, jnp.int32),
-        overflow=jnp.asarray(False),
-    )
+        # root box as a 1-node seed; the jitted init scatters it — ONE
+        # device dispatch instead of ~12 per-array relay transfers for
+        # the (N, m) slabs (each transfer is a full relay round-trip)
+        flb0 = root_lb[None, :]
+        fub0 = root_ub[None, :]
+        fb0 = np.array([-np.inf])
+        K = 1
+    st = _init_state(N, m, K)(
+        jnp.asarray(flb0), jnp.asarray(fub0), jnp.asarray(fb0),
+        jnp.asarray(float(inc_val0) if has0 else np.inf),
+        jnp.asarray(inc_y0 if has0 else np.zeros((m,))),
+        jnp.asarray(bool(has0)))
 
     t0 = time.time()
     key = jax.random.PRNGKey(settings.seed)

@@ -247,10 +247,21 @@ def _short_math(mh, ml, vh, vl):
     return jax.lax.fori_loop(0, J, body, (sh0, sl0))
 
 
+def _grid_fc(J: int, F: int) -> int:
+    """F-chunk size for the per-instance grid kernels: the (J, FC) hi/lo
+    M blocks are double-buffered by Mosaic, so budget ~5 MB of the 16 MB
+    scoped VMEM for one copy (observed: (98, 9506) whole-slab blocks
+    exceeded the scoped stack by 420 KB at cls_48 shapes, round 5)."""
+    fc = (5 * 2**20) // max(J * 4 * 2, 1)
+    fc = max(128, (fc // 128) * 128)
+    return min(F, fc)
+
+
 def _short_kernel(mh_ref, ml_ref, vh_ref, vl_ref, oh_ref, ol_ref):
-    """out[g] = sum_j M[(g,) j, :] * v[g, j] — contraction over the SHORT
-    leading axis J with a wide payload F (dS assembly, W^T v).  All
-    intermediates stay 2D (TPU vector layout)."""
+    """out[g] = sum_j M[(g,) j, fc] * v[g, j] for one F-chunk —
+    contraction over the SHORT leading axis J with a wide payload F
+    (dS assembly, W^T v).  All intermediates stay 2D (TPU vector
+    layout); no cross-chunk reduction."""
     mh = mh_ref[0] if len(mh_ref.shape) == 3 else mh_ref[:]
     ml = ml_ref[0] if len(ml_ref.shape) == 3 else ml_ref[:]
     sh, sl = _short_math(mh, ml, vh_ref[0], vl_ref[0])   # v refs (1,1,J)
@@ -263,30 +274,38 @@ def dd_contract_short(Mh, Ml, vh, vl):
 
     ``M``: (J, F) static-per-batch or (G, J, F) per-instance; v: (G, J).
     Returns (G, F) hi/lo pair.  Vectors travel as (G, 1, L) so every
-    block's trailing two dims equal the array dims (Mosaic constraint)."""
+    block's trailing two dims equal the array dims (Mosaic constraint).
+    The F axis is chunked through VMEM (production shapes overflow the
+    scoped stack otherwise)."""
     G, J = vh.shape
     static_m = Mh.ndim == 2
     F = Mh.shape[-1]
+    FC = _grid_fc(J, F)
+    F_p = ((F + FC - 1) // FC) * FC
+    if F_p != F:
+        pad = [(0, 0)] * (Mh.ndim - 1) + [(0, F_p - F)]
+        Mh = jnp.pad(Mh, pad)
+        Ml = jnp.pad(Ml, pad)
     if static_m:
-        mspec = pl.BlockSpec((J, F), lambda g: (0, 0),
+        mspec = pl.BlockSpec((J, FC), lambda g, c: (0, c),
                              memory_space=pltpu.VMEM)
     else:
-        mspec = pl.BlockSpec((1, J, F), lambda g: (g, 0, 0),
+        mspec = pl.BlockSpec((1, J, FC), lambda g, c: (g, 0, c),
                              memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((1, 1, J), lambda g: (g, 0, 0),
+    vspec = pl.BlockSpec((1, 1, J), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, 1, F), lambda g: (g, 0, 0),
+    ospec = pl.BlockSpec((1, 1, FC), lambda g, c: (g, 0, c),
                          memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         oh, ol = pl.pallas_call(
             _short_kernel,
-            grid=(G,),
+            grid=(G, F_p // FC),
             in_specs=[mspec, mspec, vspec, vspec],
             out_specs=[ospec, ospec],
-            out_shape=[jax.ShapeDtypeStruct((G, 1, F), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((G, 1, F_p), jnp.float32)] * 2,
             interpret=_use_interpret(),
         )(Mh, Ml, vh.reshape(G, 1, J), vl.reshape(G, 1, J))
-    return oh.reshape(G, F), ol.reshape(G, F)
+    return oh.reshape(G, F_p)[:, :F], ol.reshape(G, F_p)[:, :F]
 
 
 def _long_math(mh, ml, vh, vl):
@@ -297,42 +316,65 @@ def _long_math(mh, ml, vh, vl):
 
 
 def _long_kernel(mh_ref, ml_ref, vh_ref, vl_ref, oh_ref, ol_ref):
-    """out[g, j] = sum_f M[(g,) j, f] * v[g, f] — contraction over the
-    wide trailing axis F (A*-contractions, W u matvecs): elementwise
-    TwoProd then a compensated halving-tree reduction."""
+    """out[g, j] += sum_fc M[(g,) j, fc] * v[g, fc] — contraction over
+    the wide trailing axis F (A*-contractions, W u matvecs): elementwise
+    TwoProd then a compensated halving-tree reduction per F-chunk,
+    dd-accumulated into the revisited (1, 1, J) output block.  The
+    F-chunk axis MUST be the innermost grid axis (Pallas TPU in-place
+    revisit accumulation is only guaranteed across consecutive steps)."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        oh_ref[0] = jnp.zeros(oh_ref.shape[1:], jnp.float32)
+        ol_ref[0] = jnp.zeros(ol_ref.shape[1:], jnp.float32)
+
     mh = mh_ref[0] if len(mh_ref.shape) == 3 else mh_ref[:]
     ml = ml_ref[0] if len(ml_ref.shape) == 3 else ml_ref[:]
-    sh, se = _long_math(mh, ml, vh_ref[0], vl_ref[0])    # v refs (1,1,F)
-    oh_ref[0] = sh[None, :]
-    ol_ref[0] = se[None, :]
+    sh, se = _long_math(mh, ml, vh_ref[0], vl_ref[0])    # v refs (1,1,FC)
+    oh = oh_ref[0]
+    ol = ol_ref[0]
+    nh, e1 = _two_sum(oh, sh[None, :])
+    oh_ref[0] = nh
+    ol_ref[0] = ol + e1 + se[None, :]
 
 
 def dd_contract_long(Mh, Ml, vh, vl):
     """out[g, j] = sum_f M[(g,)j,f] * v[g,f].
 
-    ``M``: (J, F) or (G, J, F); v: (G, F).  Returns (G, J) hi/lo pair."""
+    ``M``: (J, F) or (G, J, F); v: (G, F).  Returns (G, J) hi/lo pair.
+    The F (reduction) axis is chunked through VMEM as the innermost grid
+    axis (production shapes overflow the scoped stack otherwise)."""
     G, F = vh.shape
     static_m = Mh.ndim == 2
     J = Mh.shape[-2]
+    FC = _grid_fc(J, F)
+    F_p = ((F + FC - 1) // FC) * FC
+    if F_p != F:
+        pad = [(0, 0)] * (Mh.ndim - 1) + [(0, F_p - F)]
+        Mh = jnp.pad(Mh, pad)
+        Ml = jnp.pad(Ml, pad)
+        vh = jnp.pad(vh, [(0, 0), (0, F_p - F)])
+        vl = jnp.pad(vl, [(0, 0), (0, F_p - F)])
     if static_m:
-        mspec = pl.BlockSpec((J, F), lambda g: (0, 0),
+        mspec = pl.BlockSpec((J, FC), lambda g, c: (0, c),
                              memory_space=pltpu.VMEM)
     else:
-        mspec = pl.BlockSpec((1, J, F), lambda g: (g, 0, 0),
+        mspec = pl.BlockSpec((1, J, FC), lambda g, c: (g, 0, c),
                              memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((1, 1, F), lambda g: (g, 0, 0),
+    vspec = pl.BlockSpec((1, 1, FC), lambda g, c: (g, 0, c),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, 1, J), lambda g: (g, 0, 0),
+    ospec = pl.BlockSpec((1, 1, J), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         oh, ol = pl.pallas_call(
             _long_kernel,
-            grid=(G,),
+            grid=(G, F_p // FC),
             in_specs=[mspec, mspec, vspec, vspec],
             out_specs=[ospec, ospec],
             out_shape=[jax.ShapeDtypeStruct((G, 1, J), jnp.float32)] * 2,
             interpret=_use_interpret(),
-        )(Mh, Ml, vh.reshape(G, 1, F), vl.reshape(G, 1, F))
+        )(Mh, Ml, vh.reshape(G, 1, F_p), vl.reshape(G, 1, F_p))
     return oh.reshape(G, J), ol.reshape(G, J)
 
 

@@ -139,6 +139,29 @@ def test_contract_lanes_kernels_shapes():
     assert _rel(out_s2, np.einsum("jf,gj->gf", Ms, v_s)) < 1e-5
 
 
+def test_contract_grid_kernels_fchunked():
+    """Per-instance grid kernels must chunk the F axis through VMEM: at
+    cls_48 production shapes ((J, F) = (98, 9506)) whole-slab blocks
+    exceeded the 16 MB scoped stack by 420 KB (round-5 TPU compile OOM).
+    Shapes here force multiple F-chunks (J large -> small FC)."""
+    import jax.numpy as jnp
+    G, J, F = 4, 700, 2000
+    assert df32._grid_fc(J, F) < F     # the shape actually chunks
+    rng = np.random.RandomState(11)
+    M = rng.randn(G, J, F)
+    v_s = rng.randn(G, J)
+    v_l = rng.randn(G, F)
+    out_s = np.asarray(df32.contract_short64(jnp.asarray(M), jnp.asarray(v_s)))
+    out_l = np.asarray(df32.contract_long64(jnp.asarray(M), jnp.asarray(v_l)))
+    assert _rel(out_s, np.einsum("gjf,gj->gf", M, v_s)) < 1e-5
+    assert _rel(out_l, np.einsum("gjf,gf->gj", M, v_l)) < 1e-5
+    Ms = M[0]
+    out_s2 = np.asarray(df32.contract_short64(jnp.asarray(Ms), jnp.asarray(v_s)))
+    out_l2 = np.asarray(df32.contract_long64(jnp.asarray(Ms), jnp.asarray(v_l)))
+    assert _rel(out_s2, np.einsum("jf,gj->gf", Ms, v_s)) < 1e-5
+    assert _rel(out_l2, np.einsum("jf,gf->gj", Ms, v_l)) < 1e-5
+
+
 @pytest.mark.parametrize("G,J,F", [
     (70, 65, 300),    # J >= 57 drops FC below 128: grid must use FC,
                       # not the constant _FC (round-4 advisor high)

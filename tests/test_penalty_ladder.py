@@ -338,7 +338,10 @@ def test_speculative_parallel_ladder_one_dispatch():
 
 def test_speculative_exhausted_records_top_tier():
     """An instance the whole speculative schedule cannot solve records a
-    near-top tier so its children skip re-climbing the ladder."""
+    near-top tier so its children skip re-climbing the ladder, and the
+    Farkas box-bound rescue (computeConflictCut aggregation over the PSD
+    primal iterate) still extracts a valid dual bound from the finite
+    node box: b^T y >= tr(C X) + min over the box of (b - A* X)^T y."""
     iface, s = _make_iface()
     PRE_INF = int(SolverResultStatus.PRESOLVED_INFEASIBLE)
     script = [
@@ -346,12 +349,16 @@ def test_speculative_exhausted_records_top_tier():
          (PRE_INF, 0.0, 0.0)],
         [(OPT, 0.0, 0.0)] * 4,          # probe: no proof
         [(F, 0.0, 0.0)] * 4,            # speculative: all tiers fail
-        [(F, 0.0, 0.0)] * 4,            # rung 4 box rescue fails
     ]
     sr = ScriptedVectorRuns(iface, script)
     iface._run = sr
     res = iface.solve_batch(np.zeros((4, 1)), np.full((4, 1), 2.0))
-    assert res.status[0] == SolverResultStatus.FAILED
+    # X = 0, xl = 0 from the scripted runs: g = 0, lhs = 0, so the box
+    # bound is min(1*0, 1*2) = 0 minus the feastol safety margin — a
+    # valid (loose) lower bound for the true optimum 0.5; the node gets
+    # BOUND_ONLY instead of burning a requeue-forever FAILED
+    assert res.status[0] == SolverResultStatus.BOUND_ONLY
+    assert res.objval[0] == pytest.approx(-s.ipm.feastol)
     # near-top tier recorded (one escalation step below the cap)
     fact = (1000.0 / 10.0) ** 0.5
     assert res.tier[0, 0] == pytest.approx(1000.0 / fact)

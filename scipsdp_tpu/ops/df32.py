@@ -252,7 +252,10 @@ def _grid_fc(J: int, F: int) -> int:
     M blocks are double-buffered by Mosaic, so budget ~5 MB of the 16 MB
     scoped VMEM for one copy (observed: (98, 9506) whole-slab blocks
     exceeded the scoped stack by 420 KB at cls_48 shapes, round 5)."""
-    fc = (5 * 2**20) // max(J * 4 * 2, 1)
+    # budget ~2 MB for the hi/lo block pair: Mosaic multi-buffers blocks
+    # across grid steps (measured ~1.6x the naive double-buffer estimate:
+    # a 5 MB pair still hit 16.6 MB scoped at (98, 13312))
+    fc = (2 * 2**20) // max(J * 4 * 2, 1)
     fc = max(128, (fc // 128) * 128)
     return min(F, fc)
 
@@ -448,9 +451,10 @@ _FC = 128   # default F-axis chunk
 
 
 def _fc_for(J: int) -> int:
-    """F-chunk size so the (J, FC, 128) hi/lo M slabs stay ~<= 7 MB of
-    the 16 MB scoped VMEM (J = mp grows to 130+ at production sizes)."""
-    fc = (7 * 2**20) // (J * 128 * 4 * 2)
+    """F-chunk size so the (J, FC, 128) hi/lo M slabs stay ~<= 4 MB of
+    the 16 MB scoped VMEM (J = mp grows to 130+ at production sizes;
+    Mosaic multi-buffers blocks, so budget well below half the limit)."""
+    fc = (4 * 2**20) // (J * 128 * 4 * 2)
     return max(32, min(_FC, (fc // 32) * 32))
 
 

@@ -82,6 +82,41 @@ def _schur_product(Wall: jnp.ndarray, settings: IPMSettings) -> jnp.ndarray:
     return jnp.einsum("xif,xjf->xij", Wall, Wall)
 
 
+def _wfeat_flat(LxOp, A_t, Lsinv_t, B, mp, budget=128 * 2**20):
+    """W features W_j = LxOp A_j Lsinv^T produced DIRECTLY in the
+    flattened (B, mp, K*n*n) layout via an mp-chunked scan.
+
+    The naive two-einsum chain materializes (B, K, mp, n, n)
+    intermediates whose TPU T(8,128) tile padding doubles the last dim
+    at odd n (129 -> 256): 4.32 GB per buffer at cls_64 B=32 — 17.35 GB
+    program HBM, a compile-time OOM (round 5).  Chunked, the peak
+    intermediate is (B, K, jc, n, n) and the flat output pads ~1.008x.
+    Small shapes take the single-chunk path (identical to the fused
+    einsum chain)."""
+    K, _, n, _ = A_t.shape
+    per_j = B * K * (-(-n // 8) * 8) * (-(-n // 128) * 128) * 4
+    jc = int(max(1, min(mp, budget // max(per_j, 1))))
+
+    def chunk(Asl):
+        P = jnp.einsum("xkba,kjbc->xkjac", LxOp, Asl)
+        W = jnp.einsum("xkjab,xkcb->xkjac", P, Lsinv_t)
+        return jnp.transpose(W, (0, 2, 1, 3, 4)).reshape(
+            B, Asl.shape[1], -1)
+
+    if jc >= mp:
+        return chunk(A_t)
+    mp_p = -(-mp // jc) * jc
+    A_p = jnp.pad(A_t, ((0, 0), (0, mp_p - mp), (0, 0), (0, 0)))
+    starts = jnp.arange(mp_p // jc) * jc
+
+    def one(j0):
+        return chunk(jax.lax.dynamic_slice_in_dim(A_p, j0, jc, axis=1))
+
+    chunks = jax.lax.map(one, starts)          # (nc, B, jc, F)
+    W = jnp.moveaxis(chunks, 0, 1).reshape(B, mp_p, -1)
+    return W[:, :mp]
+
+
 def _pallas_ok() -> bool:
     """Mosaic kernels only lower on the TPU backend (trace-time check)."""
     return jax.default_backend() == "tpu"
@@ -884,9 +919,9 @@ def ipm_solve(
         # G^T diag(xl/sl) G = Wg^T Wg — everything stacks into one feature
         # axis and the whole Schur complement is ONE MXU matmul.
         def wfeat(t):
-            P = jnp.einsum("xkba,kjbc->xkjac", Lx[t], Ad[t])   # Lx^T A_j
-            W = jnp.einsum("xkjab,xkcb->xkjac", P, Lsinv[t])   # .. Ls^{-T}
-            return jnp.transpose(W, (0, 2, 1, 3, 4)).reshape(B, mp, -1)
+            # W_j = Lx^T A_j Ls^{-T}, emitted flat (mp-chunked at large
+            # shapes — see _wfeat_flat; the 'xkba' spec transposes Lx)
+            return _wfeat_flat(Lx[t], Ad[t], Lsinv[t], B, mp)
 
         wl = jnp.where(pre.rowmask, xl / sl, 0.0)
         Wg = jnp.sqrt(wl)[:, :, None] * Gd                 # (B, P, mp)
@@ -1218,9 +1253,10 @@ def ipm_solve(
                 # triangular inverse?  Cheaper: W'_j = Lxinv X32 A_j
                 # Ls^{-T} = Lx^T A_j Ls^{-T} exactly (Lxinv X = Lx^T).
                 LxT = jnp.einsum("xkab,xkbc->xkac", Lxinv[t], X32[t])
-                P = jnp.einsum("xkab,kjbc->xkjac", LxT, A32[t])
-                W = jnp.einsum("xkjab,xkcb->xkjac", P, Lsinv[t])
-                return jnp.transpose(W, (0, 2, 1, 3, 4)).reshape(B, mp, -1)
+                # mp-chunked flat emission (see _wfeat_flat); LxT enters
+                # the 'xkba' slot transposed so the product is LxT A_j
+                return _wfeat_flat(jnp.swapaxes(LxT, -1, -2), A32[t],
+                                   Lsinv[t], B, mp)
 
             wl64 = jnp.where(pre.rowmask, st.xl / st.sl, 0.0)
             wlb64 = jnp.where(pre.lbmask, st.xlb / st.slb, 0.0)

@@ -54,3 +54,27 @@ def test_hetero_solve():
     np.testing.assert_allclose(res.objval[0], -5.0, atol=1e-4)
     result = solve_misdp(prob)
     np.testing.assert_allclose(result.objval, -5.0, atol=1e-4)
+
+
+def test_wfeat_flat_chunked_matches_naive():
+    """The mp-chunked flat W-feature producer (round-5 cls_64 HBM OOM
+    fix) must agree with the naive two-einsum chain exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scipsdp_tpu.ops.ipm import _wfeat_flat
+
+    rng = np.random.RandomState(3)
+    B, K, mp, n = 3, 2, 11, 7
+    Lx = jnp.asarray(rng.randn(B, K, n, n))
+    A = jnp.asarray(rng.randn(K, mp, n, n))
+    Ls = jnp.asarray(rng.randn(B, K, n, n))
+    P = jnp.einsum("xkba,kjbc->xkjac", Lx, A)
+    W = jnp.einsum("xkjab,xkcb->xkjac", P, Ls)
+    want = np.asarray(jnp.transpose(W, (0, 2, 1, 3, 4)).reshape(B, mp, -1))
+    got_one = np.asarray(_wfeat_flat(Lx, A, Ls, B, mp))
+    np.testing.assert_allclose(got_one, want, rtol=1e-12)
+    # tiny budget forces multiple chunks incl. a ragged final chunk
+    got_chunked = np.asarray(_wfeat_flat(Lx, A, Ls, B, mp,
+                                         budget=3 * B * K * 8 * 128 * 4))
+    np.testing.assert_allclose(got_chunked, want, rtol=1e-12)

@@ -266,7 +266,7 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
         gam_mid = float(ipms.penaltyparam)
 
         def pen_rung(args):
-            status, y, bound_pen, has_pen, nsolves = args
+            status, y, bound_pen, has_pen, feas_pen, nsolves = args
             bpen = jnp.broadcast_to(data.b_base[None], (B, mp)) + 0.0
             bpen = bpen.at[:, m].set(gam_mid)
             ubp = ubx.at[:, m].set(1e20)
@@ -278,17 +278,19 @@ def make_round(settings: Settings, integral: np.ndarray, B: int,
             status = jnp.where(feasorig, OPT, status)
             y = jnp.where(feasorig[:, None], outp.y[:, :m], y)
             val = outp.dobj - gam_mid * outp.r
-            bound_pen = jnp.where(feasorig, val,
-                                  jnp.where(conv, outp.dobj, bound_pen))
-            return status, y, bound_pen, has_pen | conv, nsolves + 1
+            bound_pen = jnp.where(conv, val, bound_pen)
+            return (status, y, bound_pen, has_pen | conv,
+                    feas_pen | feasorig, nsolves + 1)
 
         pen_rung = jax.named_scope("tb_pen_rung")(pen_rung)
-        status, y, bound_pen, has_pen, nsolves = jax.lax.cond(
+        status, y, bound_pen, has_pen, feas_pen, nsolves = jax.lax.cond(
             jnp.any(failed1), pen_rung, lambda a: a,
             (status, y, jnp.full((B,), -jnp.inf, bound.dtype),
-             jnp.zeros((B,), bool), nsolves))
-        bound = jnp.where(status == OPT, jnp.where(
-            jnp.isfinite(bound), bound, bound_pen), bound)
+             jnp.zeros((B,), bool), jnp.zeros((B,), bool), nsolves))
+        # adopted instances take the penalty value (their direct-solve
+        # dobj carries no meaning); converged-with-residual instances
+        # contribute their bound below, after the parent-bound fallback
+        bound = jnp.where(feas_pen, bound_pen, bound)
 
         unsolved = sel_live & jnp.isin(status,
                                        jnp.asarray((FAILED, ITERLIM)))

@@ -107,9 +107,26 @@ def main():
         cap = NODE_CAPS.get(label, 200_000)
         for batch in batches:
             # warm-up at THIS batch width compiles the graphs (every
-            # (shape, batch) pair is its own executable)
-            _ = run_one(prob, batch, node_limit=3 * batch)
-            res, dt = run_one(prob, batch, node_limit=cap)
+            # (shape, batch) pair is its own executable).  The axon
+            # worker occasionally dies mid-run under heavy compile load
+            # ("TPU worker process crashed or restarted") — retry once,
+            # record the failure otherwise instead of killing the sweep.
+            try:
+                _ = run_one(prob, batch, node_limit=3 * batch)
+                res, dt = run_one(prob, batch, node_limit=cap)
+            except Exception as e:   # noqa: BLE001
+                print(json.dumps({"family": label, "batch": batch,
+                                  "RETRY": str(e)[:120]}), flush=True)
+                try:
+                    time.sleep(20)
+                    res, dt = run_one(prob, batch, node_limit=cap)
+                except Exception as e2:  # noqa: BLE001
+                    rows.append({"family": label, "nvars": prob.nvars,
+                                 "batch": batch, "status": "CRASHED",
+                                 "error": str(e2)[:200],
+                                 "backend": backend})
+                    print(json.dumps(rows[-1]), flush=True)
+                    continue
             nps = res.stats.nodes / max(dt, 1e-9)
             row = {
                 "family": label, "nvars": prob.nvars, "nblk": n_blk,
@@ -148,6 +165,10 @@ def main():
     print("\nfamily      nvars  batch  nodes   time(s)  nodes/s  "
           "vs_dsdp  spec")
     for r in rows:
+        if r["status"] == "CRASHED":
+            print(f"{r['family']:<11} {r['nvars']:>5} {r['batch']:>6} "
+                  f"{'-':>6} {'-':>8} {'-':>8} {'-':>8} {'-':>5}  CRASHED")
+            continue
         print(f"{r['family']:<11} {r['nvars']:>5} {r['batch']:>6} "
               f"{r['nodes']:>6} {r['time_s']:>8.1f} "
               f"{r['nodes_per_s']:>8.1f} {r['vs_baseline']:>8.2f} "

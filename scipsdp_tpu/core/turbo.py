@@ -689,6 +689,15 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
             wi += 1
             stepped = True
         if stepped:
+            # unload the narrower width's executable before loading the
+            # wider one: loaded programs hold their HBM temp reservations
+            # on the worker, and stacking three production-size programs
+            # crashed the worker at cls_64 shapes (round 5) while each
+            # width ran fine alone
+            try:
+                chunk.clear_cache()
+            except Exception:   # noqa: BLE001 — best-effort eviction
+                pass
             chunk = chunk_at(widths[wi])
 
     has_inc = bool(has_inc_f)

@@ -620,13 +620,32 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
     # step just swaps the compiled executable (round-4 data: wide batches
     # on small trees pay up to 3x speculative nodes and 12x
     # time-to-solution; deep trees still reach the configured width).
-    widths = [B]
-    if bb.turbo_adaptive_batch and mesh is None and B > 8:
+    # Memory-model width cap: the compiled chunk's HBM temps measured
+    # (AOT memory_analysis at cls_64, f64 repair branch included)
+    # 4.43 GiB at width 8 and 7.02 GiB at width 32 — i.e. roughly
+    # base ~1640 + slope ~49*B bytes per (mp x feature) unit.  A v5e
+    # worker dies when coexisting loaded programs exceed ~15.75 G, so
+    # cap the width to keep any one program under ~6 GiB (the adaptive
+    # ramp evicts narrower executables as it steps, so at most two
+    # coexist).  This is what keeps production-size instances (blocks
+    # 97-129) running at all — beyond the cap the worker crashes, it
+    # does not slow down.
+    mp_ = m + 1
+    F_feat = sum(int(np.shape(a)[0]) * int(np.shape(a)[-1]) ** 2
+                 for a in data.A) + int(np.shape(data.G)[0])
+    unit = float(mp_ * max(F_feat, 1))
+    w_cap = int(((6 * 2**30) / unit - 1640.0) / 49.0)
+    w_cap = max(8, w_cap)
+    B_eff = B
+    if mesh is None and w_cap < B:
+        B_eff = max(8, 1 << (w_cap.bit_length() - 1))
+    widths = [B_eff]
+    if bb.turbo_adaptive_batch and mesh is None and B_eff > 8:
         widths, w = [], 8
-        while w < B:
+        while w < B_eff:
             widths.append(w)
             w *= 2
-        widths.append(B)
+        widths.append(B_eff)
     wi = 0
     if init_nodes is not None:
         while wi < len(widths) - 1 and len(init_nodes) >= 4 * widths[wi]:
@@ -666,16 +685,31 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
     key = jax.random.PRNGKey(settings.seed)
     hit_time = False
     node_limit = jnp.asarray(min(bb.node_limit, 2**31 - 1), jnp.int32)
+    # time-adaptive rounds-per-dispatch: the axon worker kills dispatches
+    # that run for minutes on-device (observed as "TPU worker process
+    # crashed" exactly on long production-size chunks, round 5), and a
+    # finished tree inside a long chunk wastes nothing anyway (idle
+    # rounds are skipped).  Target <= ~45 s per dispatch on a power-of-2
+    # ladder; each k value is its own cached executable.
+    # production shapes start at ONE round per dispatch: a single round
+    # with the f64 repair active runs tens of seconds there, and the
+    # shrink rule only reacts AFTER a long dispatch — which the watchdog
+    # may not survive (measured: cls_64 k=8 chunk of 180 s -> killed)
+    k_cur = (1 if mp_ * F_feat > 1_500_000
+             else max(1, min(8, rounds_per_dispatch)))
+    k_cap = max(1, rounds_per_dispatch)
+    k_seen = set()
     while True:
         key, sub = jax.random.split(key)
-        st, summary = chunk(data, st, sub, node_limit,
-                            k=rounds_per_dispatch)
+        t_disp = time.time()
+        st, summary = chunk(data, st, sub, node_limit, k=k_cur)
         # one tiny host sync per chunk (a single packed scalar vector
         # carrying loop control AND the final statistics — the relay
         # charges a full round-trip per fetch)
         (any_valid, overflow, nunsolved, nodes, rounds, iters, nsolves,
          nheur, ndirect, _npruned, inc_val_f, has_inc_f,
          open_bound, nlive) = np.asarray(summary)
+        wall_disp = time.time() - t_disp
         if overflow or nunsolved > 4 * B:
             return None    # host path handles what turbo cannot
         if not any_valid or nodes >= bb.node_limit:
@@ -683,6 +717,21 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
         if time.time() - t0 > bb.time_limit:
             hit_time = True
             break
+        # adjust the dispatch length toward the target (the first call
+        # at a new k includes its compile — only shrink on the repeat).
+        # Thresholds sit well under the worker's observed kill point
+        # (~2-3 min): endgame rounds at production sizes run many
+        # emulated-f64 repair iterations and a k-round dispatch can
+        # multiply into watchdog territory (measured: a 59 s k=4 chunk
+        # followed by a killed one at cls_64, round 5)
+        if wall_disp > 40.0 and k_cur > 1 and k_cur in k_seen:
+            k_seen.add(k_cur)
+            k_cur = max(1, k_cur // 2)
+        elif wall_disp < 8.0 and 2 * k_cur <= k_cap:
+            k_seen.add(k_cur)
+            k_cur *= 2
+        else:
+            k_seen.add(k_cur)
         # batch ramp: frontier outgrew the current width
         stepped = False
         while wi < len(widths) - 1 and nlive >= 4 * widths[wi]:

@@ -75,10 +75,28 @@ def _schur_product(Wall: jnp.ndarray, settings: IPMSettings) -> jnp.ndarray:
     Default: one XLA batched matmul (already MXU-shaped).  With
     ``settings.use_pallas`` a hand-written Pallas TPU kernel
     (ops/pallas_kernels.py) computes the same product with explicit tiling.
-    """
+
+    f64 operands on TPU: the emulated f64 dot materializes ~8x stacked
+    f32 operand copies, so a production-size Wall ((32, 130, 16641) at
+    cls_64) explodes to multi-GB temporaries inside the f64 repair
+    branch — the Gram is computed in F-chunks with an exact f64
+    accumulation instead (same value, bounded temps; round-5 worker-OOM
+    fix)."""
     if settings.use_pallas and _pallas_ok():
         from scipsdp_tpu.ops.pallas_kernels import schur_wwt
         return schur_wwt(Wall)
+    B, mp, F = Wall.shape
+    FC = 2048
+    if (Wall.dtype == jnp.float64 and _pallas_ok() and F > 2 * FC):
+        F_p = -(-F // FC) * FC
+        W_p = jnp.pad(Wall, ((0, 0), (0, 0), (0, F_p - F)))
+
+        def body(c, M):
+            Wc = jax.lax.dynamic_slice_in_dim(W_p, c * FC, FC, axis=2)
+            return M + jnp.einsum("xif,xjf->xij", Wc, Wc)
+
+        M0 = jnp.zeros((B, mp, mp), Wall.dtype)
+        return jax.lax.fori_loop(0, F_p // FC, body, M0)
     return jnp.einsum("xif,xjf->xij", Wall, Wall)
 
 
@@ -624,6 +642,26 @@ def ipm_solve(
     use_lite = settings.phase32 == "lite" and dtype == jnp.float64
     use_phase32 = (settings.phase32 == "on" and dtype == jnp.float64) \
         or use_refine or use_lite
+    # Shape gate on the emulated-f64 branch: lax.cond reserves HBM temps
+    # for BOTH branches, and the full-f64 iteration's reservation at
+    # production shapes is measured in GiB even when it never executes
+    # (4.43 GiB at cls_64 width 8 — AOT memory_analysis, round 5;
+    # enough that coexisting width programs crash the v5e worker).
+    # Above the threshold the refine tier runs ALONE: NaN'd or stalled
+    # instances FAIL to the recovery ladder (probe/penalty rungs, host
+    # ladder) instead of an in-graph f64 repair — the reference's
+    # fast->stable escalation is likewise a solver handoff, not an
+    # in-process retry (sdpisolver_sdpa.cpp:1416-1441).
+    # Threshold calibration (round 5): the refine tier alone CANNOT
+    # carry cls_64 (75 of 79 node relaxations failed without the f64
+    # repair, even with Jacobi-equilibrated f32 factors — the f32 Schur
+    # preconditioner stops contracting at these condition numbers), so
+    # the gate engages only beyond every current family size; the
+    # watchdog problem the gate originally chased is handled by the
+    # time-adaptive rounds-per-dispatch in core/turbo.py instead.
+    _F_feat = sum(int(np.shape(a)[0]) * int(np.shape(a)[-1]) ** 2
+                  for a in data.A) + int(np.shape(Gall)[-2])
+    no_f64_branch = use_refine and (mp * _F_feat > 20_000_000)
     if use_phase32:
         A32 = bmap(lambda t: data.A[t].astype(jnp.float32))
         G32 = Gall.astype(jnp.float32)
@@ -1171,15 +1209,26 @@ def ipm_solve(
             def chol_inv(t):
                 Kt = X32[t].shape[1]
                 both = jnp.concatenate([X32[t], S32[t]], axis=1)
-                # NOTE an f32 NaN here (cond beyond f32, typically near
-                # convergence or under penalty divergence) is handled by
-                # the nan32 one-iteration f64 repair in ``body``.  Both a
-                # floored-f32 refactor and an exact f64 factor cast to f32
-                # were tried here instead: the affected instances stall
-                # either way — they need the f64 downstream (Schur/W/
-                # recovery) too, i.e. exactly the repair branch.
-                L = _chol(both, settings)
-                Linv = _tril_inv(L, settings)
+                # Jacobi equilibration before the f32 factorization:
+                # production-size blocks (n ~ 129) span diagonal ranges
+                # beyond f32 Cholesky's comfort and NaN'd on nearly every
+                # cls_64 node (round 5).  Any factor basis serves the
+                # congruences downstream — X = Lx Lx^T is all they need —
+                # so factor D B D (cond(DBD) << cond(B)) and fold D into
+                # the returned inverse factor: B^-1 = D Lm^-T Lm^-1 D.
+                dg = jnp.sqrt(jnp.clip(
+                    jnp.einsum("xkaa->xka", both), 1e-30, None))
+                dinv = 1.0 / dg
+                scaled = both * dinv[..., :, None] * dinv[..., None, :]
+                # NOTE an f32 NaN here (cond beyond f32 even equilibrated,
+                # typically near convergence or under penalty divergence)
+                # is handled by the nan32 one-iteration f64 repair in
+                # ``body``.  Both a floored-f32 refactor and an exact f64
+                # factor cast to f32 were tried instead: the affected
+                # instances stall either way — they need the f64
+                # downstream (Schur/W/recovery) too.
+                L = _chol(scaled, settings)
+                Linv = _tril_inv(L, settings) * dinv[..., None, :]
                 return (Linv[:, :Kt], Linv[:, Kt:])
 
             chol_inv = jax.named_scope("rf_cholinv")(chol_inv)
@@ -1642,7 +1691,11 @@ def ipm_solve(
             st, ev, pre_c = carry
         else:
             st, ev = carry
-        if use_refine:
+        if use_refine and no_f64_branch:
+            # shape-gated: the refine tier alone (see no_f64_branch note)
+            use32 = jnp.asarray(True)
+            prods = iter_products_refine(st, ev)
+        elif use_refine:
             # "refine" from the FIRST iteration (a plain-f32 warm tier was
             # measured counterproductive: its weaker directions cost more
             # refine iterations than they save); emulated f64 only below
@@ -1692,7 +1745,8 @@ def ipm_solve(
             # turbo chunk spent in emulated-f64 iterations; worst case of
             # ping-ponging is one wasted f32 iteration per f64 one)
             soft = bad & use32 & ~st.done
-            if getattr(settings, "nan32_policy", "repair") == "fail":
+            if (getattr(settings, "nan32_policy", "repair") == "fail"
+                    or no_f64_branch):
                 # hand NaN'd instances straight to the recovery ladder
                 # (turbo probe rung / host ladder) instead of re-running
                 # the batch in emulated f64
@@ -1756,7 +1810,7 @@ def ipm_solve(
         # CLS shapes the fast tier's accuracy floor sits above gaptol for
         # ~30% of node relaxations; failing them flooded the recovery
         # ladder (148 of 487 nodes unsolved in one turbo chunk).
-        can_esc = (use_refine or use_phase32)
+        can_esc = (use_refine or use_phase32) and not no_f64_branch
         esc_now = (stalled & ~new.done & ~conv & ~new.esc) if can_esc \
             else jnp.zeros_like(stalled)
         failed2 = new.failed | (stalled & ~new.done & ~conv & ~esc_now)

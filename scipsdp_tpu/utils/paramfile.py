@@ -65,11 +65,16 @@ _PARAM_MAP = {
                                            int),
     "propagating/sdp-symmetry/freq": ("", "use_symmetry", bool),
     # SCIP freq semantics: -1 off, 0 root-only, k every k-th depth; our
-    # diving_freq counts batches (0 = off), so enabling values map to the
-    # closest batched cadence (>= 1)
+    # diving_freq counts batches (0 = off).  Root-only (freq = 0) maps
+    # to a sparse cadence (every 100 batches ~ once or twice per
+    # testset-scale solve) — a per-batch dive measured 3x the testset
+    # wall under scip-5.set, far beyond the tier's intent
     "heuristics/sdpfracdiving/freq": ("bb", "diving_freq",
-                                      lambda raw: max(int(float(raw)), 1)
-                                      if float(raw) >= 0 else 0),
+                                      lambda raw: (0 if float(raw) < 0
+                                                   else max(int(float(raw)),
+                                                            1)
+                                                   if float(raw) >= 1
+                                                   else 100)),
     "heuristics/sdpfracround/freq": ("bb", "heuristic_fracround", bool),
     "heuristics/sdprand/freq": ("bb", "heuristic_rand", bool),
     "constraints/SDP/enforcesdp": ("bb", "enforcesdp", bool),

@@ -78,3 +78,24 @@ def test_wfeat_flat_chunked_matches_naive():
     got_chunked = np.asarray(_wfeat_flat(Lx, A, Ls, B, mp,
                                          budget=3 * B * K * 8 * 128 * 4))
     np.testing.assert_allclose(got_chunked, want, rtol=1e-12)
+
+
+def test_schur_product_f64_chunked_matches(monkeypatch):
+    """The F-chunked f64 Schur Gram (round-5 TPU f64-emulation OOM fix)
+    must equal the plain einsum exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import scipsdp_tpu.ops.ipm as ipm
+    from scipsdp_tpu.utils.config import IPMSettings
+
+    rng = np.random.RandomState(5)
+    W = jnp.asarray(rng.randn(2, 7, 4100))   # F > 2*FC triggers chunking
+    monkeypatch.setattr(ipm, "_pallas_ok", lambda: True)
+    monkeypatch.setattr(ipm, "_schur_product",
+                        ipm._schur_product.__wrapped__
+                        if hasattr(ipm._schur_product, "__wrapped__")
+                        else ipm._schur_product)
+    got = np.asarray(ipm._schur_product(W, IPMSettings(use_pallas=False)))
+    want = np.asarray(jnp.einsum("xif,xjf->xij", W, W))
+    np.testing.assert_allclose(got, want, rtol=1e-12)

@@ -126,6 +126,8 @@ def main():
                                  "error": str(e2)[:200],
                                  "backend": backend})
                     print(json.dumps(rows[-1]), flush=True)
+                    with open(args.out, "w") as f:
+                        json.dump(rows, f, indent=1)
                     continue
             nps = res.stats.nodes / max(dt, 1e-9)
             row = {
@@ -149,6 +151,8 @@ def main():
             with open(args.out, "w") as f:   # incremental: survive kills
                 json.dump(rows, f, indent=1)
         # speculative-node inflation vs the family's leanest tree
+        if not fam_rows:
+            continue    # every batch of this family crashed
         min_nodes = min(r["nodes"] for r in fam_rows)
         for r in fam_rows:
             r["speculation"] = round(r["nodes"] / max(min_nodes, 1), 2)

@@ -739,14 +739,18 @@ def solve_turbo(dense: DenseSDPData, prob: MISDP, settings: Settings,
             stepped = True
         if stepped:
             # unload the narrower width's executable before loading the
-            # wider one: loaded programs hold their HBM temp reservations
-            # on the worker, and stacking three production-size programs
-            # crashed the worker at cls_64 shapes (round 5) while each
-            # width ran fine alone
-            try:
-                chunk.clear_cache()
-            except Exception:   # noqa: BLE001 — best-effort eviction
-                pass
+            # wider one — but only when its HBM footprint is material:
+            # loaded programs hold temp reservations on the worker and
+            # stacking production-size programs crashed it at cls_64
+            # shapes (round 5), while evicting SMALL programs just costs
+            # an AOT-cache reload on the next solve (measured 3.1 s ->
+            # 33 s on cls_32 when every ramp step re-loaded)
+            est_prev = (1640.0 + 49.0 * widths[max(wi - 1, 0)]) * unit
+            if est_prev > 2 * 2**30:
+                try:
+                    chunk.clear_cache()
+                except Exception:   # noqa: BLE001 — best-effort
+                    pass
             chunk = chunk_at(widths[wi])
 
     has_inc = bool(has_inc_f)

@@ -301,19 +301,35 @@ def _lanes_call(kernel, A: jnp.ndarray, interpret: bool,
     lrng = jnp.arange(N, N_p)
     nrng = jnp.arange(n)
     Ap = Ap.at[nrng[:, None], nrng[:, None], lrng[None, :]].set(1.0)
-    with jax.enable_x64(False):
-        out = pl.pallas_call(
-            functools.partial(kernel, n),
-            grid=(N_p // LANES,),
-            in_specs=[pl.BlockSpec((n_p, n_p, LANES),
-                                   lambda b: (0, 0, b))],
-            out_specs=pl.BlockSpec((n_p, n_p, LANES),
-                                   lambda b: (0, 0, b)),
-            out_shape=jax.ShapeDtypeStruct((n_p, n_p, N_p), A.dtype),
-            scratch_shapes=([pltpu.VMEM((n_p, n_p, LANES), A.dtype)]
-                            if scratch else []),
-            interpret=interpret,
-        )(Ap)
+
+    # one pallas_call per 128-lane block: a single call gridded over
+    # N_p/128 lets XLA promote the WHOLE (n_p, n_p, N_p) operand into
+    # scoped VMEM, which overflows the 16 MB stack once the stacked
+    # probe ladder reaches ~3x128 lanes at n>=65 (measured: f32
+    # [104,104,384] -> 21.12M scoped alloc, compile-time VMEM OOM at
+    # cls_32 B=128).  lax.map keeps each call's operand at one block.
+    def one(block):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                functools.partial(kernel, n),
+                grid=(1,),
+                in_specs=[pl.BlockSpec((n_p, n_p, LANES),
+                                       lambda b: (0, 0, 0))],
+                out_specs=pl.BlockSpec((n_p, n_p, LANES),
+                                       lambda b: (0, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((n_p, n_p, LANES), A.dtype),
+                scratch_shapes=([pltpu.VMEM((n_p, n_p, LANES), A.dtype)]
+                                if scratch else []),
+                interpret=interpret,
+            )(block)
+
+    if N_p == LANES:
+        out = one(Ap)
+    else:
+        blocks = jnp.moveaxis(
+            Ap.reshape(n_p, n_p, N_p // LANES, LANES), 2, 0)
+        out = jnp.moveaxis(jax.lax.map(one, blocks), 0, 2)
+        out = out.reshape(n_p, n_p, N_p)
     return jnp.transpose(out[:n, :n, :N], (2, 0, 1))
 
 

@@ -15,7 +15,12 @@ def spd(rng, N, n):
     return np.einsum("bij,bkj->bik", a, a) + n * np.eye(n)
 
 
-@pytest.mark.parametrize("N,n", [(3, 5), (16, 43), (130, 17), (1, 64)])
+# (384, 65): the stacked probe ladder at cls_32 B=128 — 3 lane blocks at
+# n_p=72; a single gridded pallas_call let XLA promote the whole operand
+# into scoped VMEM (21.12M > 16M compile-time OOM).  Regression for the
+# per-block lax.map in _lanes_call.
+@pytest.mark.parametrize("N,n", [(3, 5), (16, 43), (130, 17), (1, 64),
+                                 (384, 65)])
 def test_cholesky_lanes_matches_xla(N, n):
     rng = np.random.RandomState(0)
     A = jnp.asarray(spd(rng, N, n), jnp.float32)

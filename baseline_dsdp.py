@@ -94,18 +94,67 @@ def iteration_cost(n, m, verbose=False):
     return _cache[key]
 
 
+_SIZES_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_SIZES.json")
+
+
 def baseline_nodes_per_s(n, m):
     """Per-size DSDP denominator: BASELINE.md's 100 nodes/s at the CLS
     shape, scaled by the measured per-size iteration-cost ratio (the
     iteration COUNT is roughly size-independent at fixed gaptol, so the
-    op-mix ratio is the nodes/s ratio)."""
+    op-mix ratio is the nodes/s ratio).
+
+    Prefers the calibrated table (BASELINE_SIZES.json, written by
+    ``python baseline_dsdp.py --calibrate`` on a QUIET host with
+    interleaved ref/size measurement): live measurement under load
+    drifts — round-5 family runs recorded a non-monotonic denominator
+    (5.2 nodes/s at n=65 vs 18.0 at n=97) because the n=65 sample ran
+    while the test suite had both vCPUs."""
+    key = f"{int(n)}x{int(m)}"
+    try:
+        import json
+        with open(_SIZES_FILE) as f:
+            tab = json.load(f)["sizes"]
+        if key in tab:
+            return tab[key]
+    except (OSError, KeyError, ValueError):
+        pass
     t_ref = iteration_cost(*_CLS_SHAPE)
     t_sz = iteration_cost(n, m)
     return _BASELINE_CLS_NODES_PER_S * t_ref / t_sz
 
 
+def calibrate(sizes, reps=3):
+    """Interleave ref-shape and per-size measurement so slow host-load
+    drift cancels in the ratio; median over ``reps`` passes; persist."""
+    import json
+    out = {}
+    for (n, m) in sizes:
+        ratios = []
+        for _ in range(reps):
+            t_ref = _kernels(*_CLS_SHAPE)
+            t_sz = _kernels(n, m)
+            ratios.append(t_ref / t_sz)
+        val = _BASELINE_CLS_NODES_PER_S * float(np.median(ratios))
+        out[f"{n}x{m}"] = round(val, 2)
+        print(f"n={n} m={m}: {val:.2f} nodes/s "
+              f"(ratio spread {min(ratios):.3g}-{max(ratios):.3g})")
+    with open(_SIZES_FILE, "w") as f:
+        json.dump({"anchor_cls_nodes_per_s": _BASELINE_CLS_NODES_PER_S,
+                   "method": "interleaved op-mix ratio, median of "
+                             f"{reps}", "sizes": out}, f, indent=1)
+    print(f"wrote {_SIZES_FILE}")
+    return out
+
+
 def main():
     import sys
+    if "--calibrate" in sys.argv:
+        # every (n_blk, nvars) the family/relax benches use
+        calibrate([(43, 34), (29, 29), (37, 37), (45, 45), (10, 45),
+                   (12, 66), (6, 10), (8, 14), (65, 65), (97, 97),
+                   (129, 129)])
+        return
     n, m = _CLS_SHAPE
     if len(sys.argv) > 2:
         n, m = int(sys.argv[1]), int(sys.argv[2])
